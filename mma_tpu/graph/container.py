@@ -1,0 +1,109 @@
+"""Static-shape graph containers for TPU execution.
+
+The reference keeps graphs as a torch sparse COO adjacency *plus* redundant
+per-node Python neighbor lists (``node_classification/utils.py:98-100``),
+which its layers iterate with per-node Python loops
+(``node_classification/layers.py:205-222``). On TPU everything must be a
+statically-shaped array under ``jit``, so the canonical representation here
+is a padded edge list sorted by destination node:
+
+- ``src[e]`` / ``dst[e]``: endpoints of edge ``e`` (message flows
+  ``src → dst``; ``dst`` is the "center" node of the reference's loops).
+- ``dst`` is sorted ascending, so segment reductions can use
+  ``indices_are_sorted=True`` and the Pallas kernel can reduce contiguous
+  edge blocks onto contiguous output rows.
+- Padding edges sit at the tail with ``src = dst = n_node - 1`` (a padding
+  node) and ``edge_mask = False``; padded aggregation contributions are
+  masked to the reduction's neutral element.
+- ``row_ptr`` is the CSR row-offset view of the same edge list (offset of
+  each node's first in-edge), used for degree lookups and kernel block
+  scheduling.
+
+Graphs are registered JAX pytrees: they can be passed through ``jit``,
+``grad``, ``shard_map`` and stored in checkpoints like any other array
+bundle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _dataclass_pytree(cls):
+    """Register a dataclass as a pytree (all fields are leaves)."""
+    fields = [f.name for f in dataclasses.fields(cls)]
+
+    def flatten(obj):
+        return tuple(getattr(obj, n) for n in fields), None
+
+    def unflatten(_, leaves):
+        return cls(*leaves)
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+@_dataclass_pytree
+@dataclasses.dataclass
+class Graph:
+    """A single graph (or disjoint union of graphs) in padded edge-list form.
+
+    Shapes: ``E`` = padded edge count, ``N`` = padded node count. Both are
+    static under ``jit``.
+    """
+
+    src: jnp.ndarray  # (E,) int32 — neighbor / message source
+    dst: jnp.ndarray  # (E,) int32 — center / message destination, sorted
+    edge_mask: jnp.ndarray  # (E,) bool — True for real edges
+    node_mask: jnp.ndarray  # (N,) bool — True for real nodes
+    deg: jnp.ndarray  # (N,) float32 — in-degree over real edges
+    row_ptr: jnp.ndarray  # (N+1,) int32 — CSR offsets into the edge list
+
+    @property
+    def n_node(self) -> int:
+        return self.node_mask.shape[0]
+
+    @property
+    def n_edge(self) -> int:
+        return self.src.shape[0]
+
+    @property
+    def num_nodes(self) -> jnp.ndarray:
+        """Number of real (unpadded) nodes, as a traced scalar."""
+        return jnp.sum(self.node_mask.astype(jnp.int32))
+
+    @property
+    def num_edges(self) -> jnp.ndarray:
+        return jnp.sum(self.edge_mask.astype(jnp.int32))
+
+
+@_dataclass_pytree
+@dataclasses.dataclass
+class BatchedGraphs:
+    """A batch of graphs packed as one disjoint union plus readout indices.
+
+    Mirrors the capability of the PyG ``DataLoader`` collate used by the
+    reference ZINC pipeline (``graph_regression/mma.py:52-54``): node/edge
+    arrays of all graphs are concatenated, node indices offset per graph,
+    and ``node_to_graph`` maps each node to its graph for pooled readout
+    (the reference's ``batch`` vector).
+    """
+
+    graph: Graph
+    node_to_graph: jnp.ndarray  # (N,) int32 — graph id per node (pad → G-1)
+    graph_mask: jnp.ndarray  # (G,) bool — True for real graphs
+    node_feat: Optional[jnp.ndarray] = None  # (N, ...) node features/ids
+    edge_feat: Optional[jnp.ndarray] = None  # (E, ...) edge features/ids
+    target: Optional[jnp.ndarray] = None  # (G, ...) per-graph targets
+
+    @property
+    def n_graph(self) -> int:
+        return self.graph_mask.shape[0]
+
+    @property
+    def num_graphs(self) -> jnp.ndarray:
+        return jnp.sum(self.graph_mask.astype(jnp.int32))

@@ -1,0 +1,127 @@
+"""ZINC graph-regression model: embeddings → L×(conv+BN+ReLU) → pool → MLP.
+
+Reference: ``graph_regression/mma.py:63-127``. Every value the reference
+hardcodes (4 layers ``mma.py:91``, towers=5 ``:94``, hidden 75 / edge 50
+``:79-80``, MLP 75→50→25→1 ``:100-101``) is an explicit, honored config
+field here (SURVEY §5.6 / §2.3 lists the reference flags that were parsed
+but ignored).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mma_tpu.graph.container import BatchedGraphs
+from mma_tpu.nn.layers import BatchNorm, Embedding, MLP
+from mma_tpu.nn.mma_conv import MultiMaskConv
+from mma_tpu.ops.segment import segment_sum
+
+
+@dataclasses.dataclass(frozen=True)
+class ZincNet:
+    aggregators: Tuple[str, ...]
+    scalers: Tuple[str, ...]
+    avg_deg: Tuple[Tuple[str, float], ...]
+    num_layers: int = 4
+    hidden: int = 75
+    edge_hidden: int = 50
+    num_node_types: int = 21
+    num_edge_types: int = 4
+    towers: int = 5
+    pre_layers: int = 1
+    post_layers: int = 1
+    mlp_sizes: Tuple[int, ...] = (75, 50, 25, 1)
+    parity: bool = True
+
+    @property
+    def node_emb(self):
+        return Embedding(self.num_node_types, self.hidden)
+
+    @property
+    def edge_emb(self):
+        return Embedding(self.num_edge_types, self.edge_hidden)
+
+    @property
+    def conv(self):
+        return MultiMaskConv(
+            in_channels=self.hidden,
+            out_channels=self.hidden,
+            aggregators=self.aggregators,
+            scalers=self.scalers,
+            avg_deg=self.avg_deg,
+            edge_dim=self.edge_hidden,
+            towers=self.towers,
+            pre_layers=self.pre_layers,
+            post_layers=self.post_layers,
+            divide_input=False,
+            parity=self.parity,
+        )
+
+    @property
+    def bn(self):
+        return BatchNorm(self.hidden)
+
+    @property
+    def mlp(self):
+        return MLP(self.mlp_sizes)
+
+    def init(self, key):
+        ks = jax.random.split(key, 3 + self.num_layers)
+        params = {
+            "node_emb": self.node_emb.init(ks[0]),
+            "edge_emb": self.edge_emb.init(ks[1]),
+            "mlp": self.mlp.init(ks[2]),
+        }
+        for i in range(self.num_layers):
+            ck, bk = jax.random.split(ks[3 + i])
+            params[f"conv{i}"] = self.conv.init(ck)
+            params[f"bn{i}"] = self.bn.init(bk)
+        return params
+
+    def init_state(self):
+        return {f"bn{i}": self.bn.init_state() for i in range(self.num_layers)}
+
+    def apply(
+        self,
+        params,
+        state,
+        batch: BatchedGraphs,
+        *,
+        training: bool = False,
+        rng: Optional[jax.Array] = None,
+        parity_eval_dropout: bool = False,
+    ):
+        """Per-graph predictions ``(G,)`` plus updated BatchNorm state.
+
+        Message dropout follows N2 (always-on in the reference): active
+        when ``training`` or ``parity_eval_dropout`` with an rng given.
+        """
+        g = batch.graph
+        x = self.node_emb.apply(params["node_emb"], batch.node_feat.reshape(-1))
+        e = self.edge_emb.apply(params["edge_emb"], batch.edge_feat.reshape(-1))
+
+        dropout_on = (training or parity_eval_dropout) and rng is not None
+        rngs = jax.random.split(rng, self.num_layers) if dropout_on else None
+
+        new_state = {}
+        for i in range(self.num_layers):
+            h = self.conv.apply(
+                params[f"conv{i}"],
+                x,
+                g,
+                edge_attr=e,
+                rng=rngs[i] if rngs is not None else None,
+            )
+            h, new_state[f"bn{i}"] = self.bn.apply(
+                params[f"bn{i}"], state[f"bn{i}"], h, mask=g.node_mask, training=training
+            )
+            x = jax.nn.relu(h)
+
+        x = jnp.where(g.node_mask[:, None], x, 0.0)
+        pooled = segment_sum(x, batch.node_to_graph, batch.n_graph, sorted=True)
+        pred = self.mlp.apply(params["mlp"], pooled)
+        return pred.squeeze(-1), new_state

@@ -1,0 +1,301 @@
+"""MultiMaskConv — the graph-regression MMA convolution, TPU-shaped.
+
+Re-designs ``graph_regression/mma_conv.py:20-201`` (a PyG
+``MessagePassing`` subclass driven by ``torch_scatter``) without any
+message-passing machinery: messages are built from per-*node* and
+per-*edge-attribute* MXU projections gathered per edge, then reduced with
+sorted segment ops.
+
+Message decomposition: the reference's per-edge pre-NN
+``Linear([x_i ‖ x_j ‖ e])`` (``mma_conv.py:143-156``) splits as
+``x@W_dst`` and ``x@W_src`` computed once per node per tower, plus
+``e@W_edge`` per edge — ``O((2N+E)·F²·T)`` instead of ``O(E·3F²·T)``
+FLOPs, and no ``(E, T, 3F)`` concat tensor is ever materialized.
+
+Parity knobs (SURVEY §5):
+
+- **N6** — the reference's ``message`` loop overwrites ``hs``, so all K
+  scatter-reduces consume the *last* aggregator's pre-NN output
+  (``mma_conv.py:150-156``). ``parity=True`` reproduces this;
+  ``parity=False`` gives each aggregator its own message.
+- **N7** — the pre-NNs live in plain dicts invisible to the optimizer, so
+  their parameters stay at random init (``mma_conv.py:84-86``,
+  ``mask_aggr.py:44-51``). ``parity=True`` applies ``stop_gradient`` to
+  the pre-NN parameters.
+- **N8** — only bare ``sum/mean/min/max`` (+ ``var``/``std``) reach the
+  scatter; suffixed names raise, as in the reference (``mma_conv.py:165``).
+- **N9** — scalers compound (``out`` is reassigned across the scaler loop,
+  ``mma_conv.py:181-195``): with ``identity,amplification,linear`` the
+  concatenated outputs are ``[m, m·amp, m·amp·lin]``. ``parity=False``
+  applies each scaler to the raw aggregate independently.
+- **N2** — message dropout (0.5, hardcoded ``mma_conv.py:67``) has no
+  ``training=`` flag; active whenever the caller passes ``rng``.
+- Empty-segment fill: ``torch_scatter`` yields 0 for isolated nodes for
+  every reduce type; reproduced for min/max via a degree-0 select.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mma_tpu.graph.container import Graph
+from mma_tpu.nn import init as inits
+from mma_tpu.nn.layers import Dense, dropout
+from mma_tpu.ops.segment import segment_max, segment_min, segment_sum
+
+GR_AGGREGATORS = ("sum", "mean", "min", "max", "var", "std")
+GR_SCALERS = ("identity", "amplification", "attenuation", "linear", "inverse_linear")
+
+
+def compute_avg_deg(deg_hist: jnp.ndarray, *, parity: bool = True) -> Dict[str, float]:
+    """Degree statistics feeding the scalers.
+
+    ``parity=True`` replicates the reference's statistics-over-histogram-
+    *counts* (``mma_conv.py:73-78``: ``deg.mean()`` etc. where ``deg`` is
+    the bincount vector). ``parity=False`` computes the intended
+    statistics over the node degree distribution.
+    """
+    h = jnp.asarray(deg_hist, jnp.float32)
+    if parity:
+        return {
+            "lin": float(h.mean()),
+            "log": float(jnp.log(h + 1).mean()),
+            "exp": float(jnp.exp(h).mean()),
+        }
+    degrees = jnp.arange(h.shape[0], dtype=jnp.float32)
+    n = jnp.maximum(h.sum(), 1.0)
+    return {
+        "lin": float((degrees * h).sum() / n),
+        "log": float((jnp.log(degrees + 1) * h).sum() / n),
+        "exp": float((jnp.exp(degrees) * h).sum() / n),
+    }
+
+
+def _check_aggregator(name: str) -> None:
+    if name not in GR_AGGREGATORS:
+        raise ValueError(f'Unknown aggregator "{name}".')
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiMaskConv:
+    in_channels: int
+    out_channels: int
+    aggregators: Tuple[str, ...]
+    scalers: Tuple[str, ...]
+    avg_deg: Tuple[Tuple[str, float], ...]  # hashable dict of degree stats
+    edge_dim: Optional[int] = None
+    towers: int = 1
+    pre_layers: int = 1
+    post_layers: int = 1
+    divide_input: bool = False
+    dropout_rate: float = 0.5  # hardcoded in the reference (mma_conv.py:67)
+    parity: bool = True
+
+    def __post_init__(self):
+        for a in self.aggregators:
+            _check_aggregator(a)
+        for s in self.scalers:
+            if s not in GR_SCALERS:
+                raise ValueError(f'Unknown scaler "{s}".')
+        if self.divide_input:
+            assert self.in_channels % self.towers == 0
+        assert self.out_channels % self.towers == 0
+
+    @property
+    def f_in(self) -> int:
+        return self.in_channels // self.towers if self.divide_input else self.in_channels
+
+    @property
+    def f_out(self) -> int:
+        return self.out_channels // self.towers
+
+    @property
+    def _msg_in(self) -> int:
+        return (3 if self.edge_dim is not None else 2) * self.f_in
+
+    def init(self, key):
+        t, f, k = self.towers, self.f_in, len(self.aggregators)
+        keys = jax.random.split(key, 6)
+        params = {}
+        if self.edge_dim is not None:
+            params["edge_encoder"] = Dense(self.edge_dim, f).init(keys[0])
+
+        # pre-NNs: (K aggregators) × (T towers) × pre_layers dense layers.
+        def init_pre(kk):
+            lk = jax.random.split(kk, self.pre_layers)
+            layers = [Dense(self._msg_in, f).init(lk[0])]
+            for i in range(1, self.pre_layers):
+                layers.append(Dense(f, f).init(lk[i]))
+            return layers
+        params["pre_nns"] = [
+            [init_pre(tk) for tk in jax.random.split(ak, t)]
+            for ak in jax.random.split(keys[1], k)
+        ]
+
+        post_in = (k * len(self.scalers) + 1) * f
+        def init_post(kk):
+            lk = jax.random.split(kk, self.post_layers)
+            layers = [Dense(post_in, self.f_out).init(lk[0])]
+            for i in range(1, self.post_layers):
+                layers.append(Dense(self.f_out, self.f_out).init(lk[i]))
+            return layers
+        post_keys = jax.random.split(keys[2], t)
+        params["post_nns"] = [init_post(post_keys[ti]) for ti in range(t)]
+
+        params["lin"] = Dense(self.out_channels, self.out_channels).init(keys[3])
+        return params
+
+    # ---- messages ------------------------------------------------------
+
+    def _pre_nn_apply(self, layer_params, h):
+        """Apply one pre-NN stack to (..., msg_in)."""
+        out = h @ layer_params[0]["w"] + layer_params[0]["b"]
+        for lp in layer_params[1:]:
+            out = jax.nn.relu(out) @ lp["w"] + lp["b"]
+        return out
+
+    def _messages_for_aggregator(self, pre_params_k, x_t, e_feat, graph: Graph):
+        """Messages (E, T, F) for one aggregator's pre-NNs, decomposed.
+
+        ``x_t``: (N, T, F_in) per-tower node features. The first pre-NN
+        layer's weight (msg_in, F) splits into dst/src/edge blocks applied
+        per node / per edge before gathering.
+        """
+        f = self.f_in
+        outs = []
+        for ti in range(self.towers):
+            lp0 = pre_params_k[ti][0]
+            w, b = lp0["w"], lp0["b"]
+            w_dst, w_src = w[:f], w[f : 2 * f]
+            p_dst = x_t[:, ti, :] @ w_dst  # (N, F)
+            p_src = x_t[:, ti, :] @ w_src
+            msg = p_dst[graph.dst] + p_src[graph.src] + b
+            if self.edge_dim is not None:
+                msg = msg + e_feat @ w[2 * f :]
+            for lp in pre_params_k[ti][1:]:
+                msg = jax.nn.relu(msg) @ lp["w"] + lp["b"]
+            outs.append(msg)
+        return jnp.stack(outs, axis=1)  # (E, T, F)
+
+    # ---- aggregation ---------------------------------------------------
+
+    def _reduce(self, name, msgs, graph: Graph, deg):
+        """One scatter-reduce over edges → (N, T, F); empty segments → 0."""
+        n = graph.n_node
+        valid = graph.edge_mask[:, None, None]
+        if name == "sum":
+            return segment_sum(jnp.where(valid, msgs, 0.0), graph.dst, n)
+        if name == "mean":
+            s = segment_sum(jnp.where(valid, msgs, 0.0), graph.dst, n)
+            return s / deg  # deg pre-clamped to ≥1; empty segments → 0
+        if name == "max":
+            r = segment_max(jnp.where(valid, msgs, -jnp.inf), graph.dst, n)
+            return jnp.where(graph.deg[:, None, None] > 0, r, 0.0)
+        if name == "min":
+            r = segment_min(jnp.where(valid, msgs, jnp.inf), graph.dst, n)
+            return jnp.where(graph.deg[:, None, None] > 0, r, 0.0)
+        if name in ("var", "std"):
+            s = segment_sum(jnp.where(valid, msgs, 0.0), graph.dst, n)
+            s2 = segment_sum(jnp.where(valid, msgs * msgs, 0.0), graph.dst, n)
+            mean, mean_sq = s / deg, s2 / deg
+            out = mean_sq - mean * mean
+            if name == "std":
+                out = jnp.sqrt(jax.nn.relu(out) + 1e-5)
+            return out
+        raise ValueError(f'Unknown aggregator "{name}".')
+
+    def _scale(self, agg, deg):
+        """Scaler stage → (N, T, S·K·F); parity compounds (N9)."""
+        avg = dict(self.avg_deg)
+        outs = []
+        cur = agg
+        base = agg
+        for scaler in self.scalers:
+            if scaler == "identity":
+                fac = None
+            elif scaler == "amplification":
+                fac = jnp.log(deg + 1) / avg["log"]
+            elif scaler == "attenuation":
+                fac = avg["log"] / jnp.log(deg + 1)
+            elif scaler == "linear":
+                fac = deg / avg["lin"]
+            elif scaler == "inverse_linear":
+                fac = avg["lin"] / deg
+            else:
+                raise ValueError(f'Unknown scaler "{scaler}".')
+            if self.parity:
+                if fac is not None:
+                    cur = cur * fac
+                outs.append(cur)
+            else:
+                outs.append(base if fac is None else base * fac)
+        return jnp.concatenate(outs, axis=-1)
+
+    # ---- forward -------------------------------------------------------
+
+    def apply(
+        self,
+        params,
+        x: jnp.ndarray,
+        graph: Graph,
+        edge_attr: Optional[jnp.ndarray] = None,
+        *,
+        rng: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """x: (N, in_channels) → (N, out_channels).
+
+        ``rng`` enables the always-on message dropout (N2); pass ``None``
+        for deterministic output.
+        """
+        n = x.shape[0]
+        t, f = self.towers, self.f_in
+        if self.divide_input:
+            x_t = x.reshape(n, t, f)
+        else:
+            x_t = jnp.broadcast_to(x[:, None, :], (n, t, f))
+
+        e_feat = None
+        if self.edge_dim is not None:
+            assert edge_attr is not None
+            enc = Dense(self.edge_dim, f)
+            e_feat = enc.apply(params["edge_encoder"], edge_attr)  # (E, F)
+
+        pre_nns = params["pre_nns"]
+        if self.parity:
+            # N7: pre-NNs stay at init — cut them out of the grad graph.
+            pre_nns = jax.lax.stop_gradient(pre_nns)
+
+        deg = jnp.maximum(graph.deg, 1.0)[:, None, None]  # (N,1,1) clamp_(1)
+
+        if self.parity:
+            # N6: every aggregator consumes the LAST aggregator's messages.
+            msgs = self._messages_for_aggregator(pre_nns[-1], x_t, e_feat, graph)
+            msgs = dropout(rng, msgs, self.dropout_rate)
+            per_agg = {a: msgs for a in self.aggregators}
+        else:
+            per_agg = {}
+            rngs = (
+                jax.random.split(rng, len(self.aggregators)) if rng is not None else None
+            )
+            for ki, a in enumerate(self.aggregators):
+                m = self._messages_for_aggregator(pre_nns[ki], x_t, e_feat, graph)
+                per_agg[a] = dropout(rngs[ki] if rngs is not None else None, m, self.dropout_rate)
+
+        agg = jnp.concatenate(
+            [self._reduce(a, per_agg[a], graph, deg) for a in self.aggregators],
+            axis=-1,
+        )  # (N, T, K·F)
+        scaled = self._scale(agg, deg)  # (N, T, S·K·F)
+
+        out = jnp.concatenate([x_t, scaled], axis=-1)  # (N, T, (K·S+1)·F)
+        tower_outs = [
+            self._pre_nn_apply(params["post_nns"][ti], out[:, ti, :])
+            for ti in range(t)
+        ]
+        out = jnp.concatenate(tower_outs, axis=1)  # (N, out_channels)
+        lin = Dense(self.out_channels, self.out_channels)
+        return lin.apply(params["lin"], out)

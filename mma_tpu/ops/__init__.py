@@ -1,0 +1,27 @@
+from mma_tpu.ops.segment import (
+    segment_sum,
+    segment_mean,
+    segment_max,
+    segment_min,
+    segment_softmax_denom,
+)
+from mma_tpu.ops.aggregators import AggSpec, get_agg_spec, NODE_CLS_AGGREGATORS
+from mma_tpu.ops.masked_aggregate import masked_multi_aggregate, mma_mask_logits
+from mma_tpu.ops.spmm import binary_spmm
+from mma_tpu.ops.scalers import apply_scalers, SCALER_NAMES
+
+__all__ = [
+    "segment_sum",
+    "segment_mean",
+    "segment_max",
+    "segment_min",
+    "segment_softmax_denom",
+    "AggSpec",
+    "get_agg_spec",
+    "NODE_CLS_AGGREGATORS",
+    "masked_multi_aggregate",
+    "mma_mask_logits",
+    "binary_spmm",
+    "apply_scalers",
+    "SCALER_NAMES",
+]

@@ -1,0 +1,148 @@
+"""Fused-math core of the MMA layer: SDDMM mask logits + K-way masked
+segment aggregation, expressed TPU-first.
+
+The reference computes, for every center node ``i`` and neighbor ``j``,
+``mask_ij = act([h_i ‖ h_j] @ W_k)`` and reduces ``mask_ij ⊙ h_j`` over
+``j`` — as a Python loop over nodes with per-iteration host→device index
+uploads (``node_classification/layers.py:205-222`` and 20 clones). Two
+re-formulations make this TPU-shaped:
+
+1. **SDDMM decomposition.** ``[h_i ‖ h_j] @ W = h_i @ W_top + h_j @ W_bot``
+   with ``W_top = W[:F]``, ``W_bot = W[F:]``. The two projections are
+   per-*node* MXU matmuls computed once (``O(N·F²·K)`` FLOPs) and gathered
+   per edge, instead of a per-*edge* GEMM (``O(E·F²·K)``). For all K
+   aggregators the projections batch into one ``(N, F) × (F, K·F)``
+   matmul.
+
+2. **Sum-only segment reduction.** Every usable reference aggregator
+   reduces neighbors with a masked *sum* (max/min enter only via the
+   center combine — see ``mma_tpu.ops.aggregators``), so one sorted
+   ``segment_sum`` over edges serves all K aggregators in a single edge
+   pass; an optional Pallas kernel fuses mask + multiply + segment-sum.
+
+Parity knobs (SURVEY §5):
+
+- N1 activation table via ``AggSpec.applies_sigmoid``.
+- N2 always-on mask dropout: the caller controls this by passing ``rng``
+  (dropout active) or ``rng=None`` (off); the training harness passes rng
+  in eval when ``parity_dropout`` is requested.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mma_tpu.graph.container import Graph
+from mma_tpu.ops.aggregators import AggSpec
+from mma_tpu.ops.segment import segment_sum
+
+_EPS = 1e-5
+
+
+def mma_mask_logits(h: jnp.ndarray, mask_weights: jnp.ndarray, graph: Graph) -> jnp.ndarray:
+    """Per-edge mask logits for K aggregators: ``(E, K, F)``.
+
+    ``mask_weights``: ``(K, 2F, F)`` — one ``[W_top; W_bot]`` per
+    aggregator (reference's per-aggregator mask matrices,
+    ``node_classification/models.py:23-43``).
+    """
+    k, two_f, f = mask_weights.shape
+    n = h.shape[0]
+    w_top = mask_weights[:, : two_f // 2, :]  # (K, F, F)
+    w_bot = mask_weights[:, two_f // 2 :, :]
+    # One batched MXU matmul each: (N, F) x (F, K*F).
+    c = (h @ w_top.transpose(1, 0, 2).reshape(f, k * f)).reshape(n, k, f)
+    d = (h @ w_bot.transpose(1, 0, 2).reshape(f, k * f)).reshape(n, k, f)
+    return c[graph.dst] + d[graph.src]
+
+
+def _apply_mask_activation(
+    logits: jnp.ndarray,
+    specs: Sequence[AggSpec],
+    activation: str,
+    parity: bool,
+) -> jnp.ndarray:
+    sig = jnp.array(
+        [s.applies_sigmoid(activation, parity) for s in specs], dtype=bool
+    )
+    return jnp.where(sig[None, :, None], jax.nn.sigmoid(logits), logits)
+
+
+def masked_multi_aggregate(
+    h: jnp.ndarray,
+    graph: Graph,
+    mask_weights: jnp.ndarray,
+    specs: Sequence[AggSpec],
+    *,
+    activation: str = "new_sigmoid",
+    parity: bool = True,
+    mask_dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """K-way masked aggregation: returns ``(N, K, F)`` combined outputs.
+
+    For each aggregator ``k``:
+    ``S_k[i] = Σ_{e: dst(e)=i} act_k(logits_k[e]) ⊙ h[src(e)]`` followed by
+    the spec's center combine. Padding edges contribute the sum-neutral 0.
+    """
+    n, f = h.shape
+    k = len(specs)
+    assert mask_weights.shape == (k, 2 * f, f), (mask_weights.shape, (k, 2 * f, f))
+
+    logits = mma_mask_logits(h, mask_weights, graph)  # (E, K, F)
+    mask = _apply_mask_activation(logits, specs, activation, parity)
+
+    if rng is not None and mask_dropout_rate > 0.0:
+        keep = jax.random.bernoulli(rng, 1.0 - mask_dropout_rate, mask.shape)
+        mask = jnp.where(keep, mask / (1.0 - mask_dropout_rate), 0.0)
+
+    h_src = h[graph.src]  # (E, F)
+    msgs = mask * h_src[:, None, :]
+    msgs = jnp.where(graph.edge_mask[:, None, None], msgs, 0.0)
+
+    if use_pallas:
+        from mma_tpu.ops.pallas.fused_mma import fused_segment_sum
+
+        s = fused_segment_sum(msgs.reshape(-1, k * f), graph).reshape(n, k, f)
+    else:
+        s = segment_sum(msgs, graph.dst, n, sorted=True)  # (N, K, F)
+
+    deg = jnp.maximum(graph.deg, 1.0)[:, None]  # (N, 1), clamped
+    outs = []
+    need_moments = any(sp.combine in ("std", "moment_3") for sp in specs)
+    if need_moments:
+        msgs_sq = jnp.where(graph.edge_mask[:, None, None], msgs * msgs, 0.0)
+        s2 = segment_sum(msgs_sq, graph.dst, n, sorted=True)
+    for idx, sp in enumerate(specs):
+        sk = s[:, idx, :]
+        if sp.combine == "sum":
+            out = h + sk
+        elif sp.combine == "mean":
+            out = (h + sk) / deg
+        elif sp.combine == "max":
+            out = jnp.maximum(h, sk)
+        elif sp.combine == "min":
+            out = jnp.minimum(h, sk)
+        elif sp.combine == "passthrough":
+            out = sk
+        elif sp.combine == "std":
+            mean = sk / deg
+            mean_sq = s2[:, idx, :] / deg
+            out = jnp.sqrt(jax.nn.relu(mean_sq - mean * mean) + _EPS)
+        elif sp.combine == "normalized_mean":
+            out = sk * jax.lax.rsqrt(deg)
+        elif sp.combine == "moment_3":
+            mean = sk / deg
+            mean_sq = s2[:, idx, :] / deg
+            msgs_cu = jnp.where(graph.edge_mask[:, None, None], msgs**3, 0.0)
+            mean_cu = segment_sum(msgs_cu[:, idx, :], graph.dst, n, sorted=True) / deg
+            m3 = mean_cu - 3.0 * mean * mean_sq + 2.0 * mean**3
+            out = jnp.sign(m3) * (jnp.abs(m3) + _EPS) ** (1.0 / 3.0)
+        else:
+            raise ValueError(f"unknown combine {sp.combine!r}")
+        outs.append(out)
+    return jnp.stack(outs, axis=1)  # (N, K, F)
