@@ -1,0 +1,74 @@
+"""Optimizers and schedules with reference-matching semantics.
+
+N11 (SURVEY §5): both reference stacks use ``torch.optim.Adam(weight_decay=…)``
+(``train.py:69-70``, ``mma.py:136``) — L2 *added to the gradient before*
+the Adam moments, not AdamW decoupled decay. So the chain is
+``add_decayed_weights → scale_by_adam → lr``, and **not** ``optax.adamw``.
+
+``ReduceLROnPlateau`` mirrors ``torch.optim.lr_scheduler.ReduceLROnPlateau``
+with the reference's settings (mode='min', factor=0.5, patience=20,
+min_lr=1e-5; ``mma.py:137``) including torch's relative-threshold default.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import optax
+
+
+def make_optimizer(
+    learning_rate: float,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """torch-Adam-equivalent with L2-in-grad; lr is an injected hyperparam
+    (mutable via ``opt_state.hyperparams['learning_rate']``)."""
+
+    @optax.inject_hyperparams
+    def _opt(learning_rate):
+        steps = []
+        if weight_decay:
+            steps.append(optax.add_decayed_weights(weight_decay))
+        steps.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+        steps.append(optax.scale_by_learning_rate(learning_rate))
+        return optax.chain(*steps)
+
+    return _opt(learning_rate=learning_rate)
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Return ``opt_state`` with the injected learning rate replaced."""
+    import jax.numpy as jnp
+
+    cur = opt_state.hyperparams["learning_rate"]
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.asarray(cur).dtype)
+    return opt_state
+
+
+@dataclasses.dataclass
+class ReduceLROnPlateau:
+    """Host-side plateau scheduler (torch semantics, mode='min')."""
+
+    lr: float
+    factor: float = 0.5
+    patience: int = 20
+    min_lr: float = 1e-5
+    threshold: float = 1e-4  # torch default, relative mode
+
+    best: float = float("inf")
+    num_bad: int = 0
+
+    def step(self, metric: float) -> float:
+        """Feed a validation metric; returns the (possibly reduced) lr."""
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.num_bad = 0
+        return self.lr

@@ -1,0 +1,176 @@
+"""Parity of MultiMaskConv vs the reference-semantics oracle, plus ZincNet
+end-to-end shape/finiteness and batching invariants."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mma_tpu.data import load_zinc
+from mma_tpu.models import ZincNet
+from mma_tpu.nn.mma_conv import MultiMaskConv, compute_avg_deg
+
+from helpers import random_symmetric_graph, unpad
+from oracle import oracle_zinc_conv
+
+N, F, EDGE_DIM, TOWERS = 18, 8, 6, 2
+
+
+def _conv_and_params(aggregators, scalers, parity, towers=TOWERS):
+    avg_deg = (("lin", 2.1), ("log", 1.05), ("exp", 9.3))
+    conv = MultiMaskConv(
+        in_channels=F,
+        out_channels=F,
+        aggregators=aggregators,
+        scalers=scalers,
+        avg_deg=avg_deg,
+        edge_dim=EDGE_DIM,
+        towers=towers,
+        parity=parity,
+    )
+    params = conv.init(jax.random.PRNGKey(0))
+    return conv, params, dict(avg_deg)
+
+
+def _oracle_params(params, towers):
+    return {
+        "pre": [
+            [(np.asarray(t[0]["w"]), np.asarray(t[0]["b"])) for t in agg]
+            for agg in params["pre_nns"]
+        ],
+        "post": [
+            (np.asarray(t[0]["w"]), np.asarray(t[0]["b"])) for t in params["post_nns"]
+        ],
+        "lin": (np.asarray(params["lin"]["w"]), np.asarray(params["lin"]["b"])),
+    }
+
+
+@pytest.mark.parametrize("parity", [True, False])
+@pytest.mark.parametrize(
+    "aggregators,scalers",
+    [
+        (("min", "max"), ("identity", "amplification", "linear")),  # README.md:79 config
+        (("sum", "mean"), ("identity",)),
+        (("mean", "var", "std"), ("attenuation", "inverse_linear")),
+    ],
+)
+def test_conv_matches_oracle(aggregators, scalers, parity):
+    a, _, graph = random_symmetric_graph(N, p=0.2, seed=11)
+    rs = np.random.RandomState(5)
+    x = np.zeros((graph.n_node, F), np.float32)
+    x[:N] = rs.randn(N, F).astype(np.float32)
+    edge_attr = rs.randn(graph.n_edge, EDGE_DIM).astype(np.float32)
+
+    conv, params, avg_deg = _conv_and_params(aggregators, scalers, parity)
+    got = conv.apply(params, jnp.asarray(x), graph, edge_attr=jnp.asarray(edge_attr))
+
+    # Oracle works on the unpadded graph in the same dst-sorted edge order.
+    e_mask = np.asarray(graph.edge_mask)
+    src = np.asarray(graph.src)[e_mask]
+    dst = np.asarray(graph.dst)[e_mask]
+    enc_w = np.asarray(params["edge_encoder"]["w"])
+    enc_b = np.asarray(params["edge_encoder"]["b"])
+    e_enc = edge_attr[e_mask] @ enc_w + enc_b
+    want = oracle_zinc_conv(
+        x[:N], src, dst, e_enc, _oracle_params(params, TOWERS),
+        list(aggregators), list(scalers), avg_deg, TOWERS, parity=parity,
+    )
+    np.testing.assert_allclose(unpad(got, N), want, rtol=3e-4, atol=3e-4)
+
+
+def test_avg_deg_parity_vs_fixed():
+    hist = jnp.asarray([3.0, 10.0, 25.0, 8.0, 1.0])
+    p = compute_avg_deg(hist, parity=True)
+    f = compute_avg_deg(hist, parity=False)
+    # parity: statistics over histogram *counts* (mma_conv.py:73-78)
+    np.testing.assert_allclose(p["lin"], np.mean([3, 10, 25, 8, 1]), rtol=1e-6)
+    # fixed: true mean degree
+    np.testing.assert_allclose(
+        f["lin"], (0 * 3 + 1 * 10 + 2 * 25 + 3 * 8 + 4 * 1) / 47.0, rtol=1e-6
+    )
+
+
+def test_n6_last_aggregator_messages():
+    """Parity mode must be invariant to the *first* aggregator's pre-NN."""
+    a, _, graph = random_symmetric_graph(N, p=0.2, seed=2)
+    rs = np.random.RandomState(8)
+    x = rs.randn(graph.n_node, F).astype(np.float32)
+    edge_attr = rs.randn(graph.n_edge, EDGE_DIM).astype(np.float32)
+    conv, params, _ = _conv_and_params(("min", "max"), ("identity",), parity=True)
+    out1 = conv.apply(params, jnp.asarray(x), graph, edge_attr=jnp.asarray(edge_attr))
+    # Perturb aggregator 0 ("min") pre-NN — in parity mode this is dead.
+    params2 = jax.tree.map(lambda v: v, params)
+    params2["pre_nns"][0][0][0]["w"] = params["pre_nns"][0][0][0]["w"] + 1.0
+    out2 = conv.apply(params2, jnp.asarray(x), graph, edge_attr=jnp.asarray(edge_attr))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+    # ... but live in fixed mode.
+    convf, paramsf, _ = _conv_and_params(("min", "max"), ("identity",), parity=False)
+    o1 = convf.apply(paramsf, jnp.asarray(x), graph, edge_attr=jnp.asarray(edge_attr))
+    paramsf["pre_nns"][0][0][0]["w"] = paramsf["pre_nns"][0][0][0]["w"] + 1.0
+    o2 = convf.apply(paramsf, jnp.asarray(x), graph, edge_attr=jnp.asarray(edge_attr))
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_n7_pre_nns_get_no_gradient_in_parity():
+    a, _, graph = random_symmetric_graph(N, p=0.2, seed=4)
+    rs = np.random.RandomState(9)
+    x = rs.randn(graph.n_node, F).astype(np.float32)
+    edge_attr = rs.randn(graph.n_edge, EDGE_DIM).astype(np.float32)
+
+    for parity, expect_zero in [(True, True), (False, False)]:
+        conv, params, _ = _conv_and_params(("min", "max"), ("identity",), parity)
+
+        def loss(p):
+            out = conv.apply(p, jnp.asarray(x), graph, edge_attr=jnp.asarray(edge_attr))
+            return jnp.sum(out**2)
+
+        g = jax.grad(loss)(params)
+        gnorm = float(
+            sum(jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(g["pre_nns"]))
+        )
+        if expect_zero:
+            assert gnorm == 0.0, gnorm
+        else:
+            assert gnorm > 0.0
+        # post-NNs always train
+        assert float(sum(jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(g["post_nns"]))) > 0
+
+
+def test_zinc_net_end_to_end():
+    ds = load_zinc("val", subset_size=64)
+    avg = compute_avg_deg(jnp.asarray(ds.degree_histogram()), parity=True)
+    model = ZincNet(
+        aggregators=("min", "max"),
+        scalers=("identity", "amplification", "linear"),
+        avg_deg=tuple(avg.items()),
+        towers=5,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    state = model.init_state()
+    batch = next(ds.batches(16, n_node=16 * 40, n_edge=16 * 100))
+    pred, new_state = model.apply(params, state, batch, training=True, rng=jax.random.PRNGKey(1))
+    assert pred.shape == (16,)
+    assert np.all(np.isfinite(np.asarray(pred)))
+    # BatchNorm state updated
+    assert not np.allclose(
+        np.asarray(new_state["bn0"]["mean"]), np.asarray(state["bn0"]["mean"])
+    )
+
+
+def test_batching_padding_invariance():
+    """Same graphs, different padding ⇒ same predictions (static-shape safety)."""
+    ds = load_zinc("val", subset_size=8)
+    avg = compute_avg_deg(jnp.asarray(ds.degree_histogram()), parity=True)
+    model = ZincNet(
+        aggregators=("min", "max"),
+        scalers=("identity", "amplification", "linear"),
+        avg_deg=tuple(avg.items()),
+        towers=3,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    state = model.init_state()
+    b1 = next(ds.batches(8, n_node=8 * 40, n_edge=8 * 100))
+    b2 = next(ds.batches(8, n_node=8 * 60 + 3, n_edge=8 * 150 + 17))
+    p1, _ = model.apply(params, state, b1, training=False)
+    p2, _ = model.apply(params, state, b2, training=False)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5, atol=1e-5)

@@ -1,0 +1,105 @@
+"""Training-harness tests: optimizer parity vs torch Adam, scheduler
+semantics, quick end-to-end quality on Cora, ZINC loss descent,
+checkpoint roundtrip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from mma_tpu.train import (
+    NodeClassificationConfig,
+    ZincConfig,
+    make_optimizer,
+    ReduceLROnPlateau,
+    train_node_classification,
+    train_zinc,
+)
+from mma_tpu.train.optim import set_learning_rate
+
+
+def test_adam_l2_matches_torch():
+    """N11: torch.optim.Adam(weight_decay) = L2-in-grad, not AdamW."""
+    torch = pytest.importorskip("torch")
+    rs = np.random.RandomState(0)
+    w0 = rs.randn(5, 3).astype(np.float32)
+    grads = [rs.randn(5, 3).astype(np.float32) for _ in range(4)]
+
+    tw = torch.nn.Parameter(torch.tensor(w0.copy()))
+    topt = torch.optim.Adam([tw], lr=0.01, weight_decay=0.1)
+    for g in grads:
+        tw.grad = torch.tensor(g.copy())
+        topt.step()
+
+    opt = make_optimizer(0.01, weight_decay=0.1)
+    params = {"w": jnp.asarray(w0)}
+    st = opt.init(params)
+    for g in grads:
+        upd, st = opt.update({"w": jnp.asarray(g)}, st, params)
+        params = optax.apply_updates(params, upd)
+
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_reduce_lr_on_plateau():
+    s = ReduceLROnPlateau(lr=1.0, factor=0.5, patience=2, min_lr=0.1)
+    assert s.step(1.0) == 1.0  # improvement (vs inf)
+    assert s.step(1.0) == 1.0  # bad 1
+    assert s.step(1.0) == 1.0  # bad 2 (= patience)
+    assert s.step(1.0) == 0.5  # bad 3 > patience → reduce
+    assert s.step(0.5) == 0.5  # improvement resets
+    for _ in range(3):
+        s.step(0.5)
+    for _ in range(8):
+        s.step(0.5)
+    assert s.lr >= 0.1  # min_lr floor
+
+
+def test_set_learning_rate_changes_updates():
+    opt = make_optimizer(0.1)
+    p = {"w": jnp.ones(3)}
+    st = opt.init(p)
+    g = {"w": jnp.ones(3)}
+    u1, st1 = opt.update(g, st, p)
+    st = set_learning_rate(st, 0.0)
+    u2, _ = opt.update(g, st, p)
+    assert float(jnp.abs(u1["w"]).sum()) > 0
+    np.testing.assert_allclose(np.asarray(u2["w"]), 0.0, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_cora_quick_accuracy():
+    cfg = NodeClassificationConfig(
+        dataset="cora", aggregators=("mean", "mean2"), hidden=64,
+        lr=0.01, weight_decay=3e-4, dropout=0.5, epochs=40,
+    )
+    res = train_node_classification(cfg)
+    assert res["acc_test"] > 0.78, res["acc_test"]
+
+
+@pytest.mark.slow
+def test_zinc_quick_loss_decrease():
+    cfg = ZincConfig(
+        aggregators=("min", "max"),
+        scalers=("identity", "amplification", "linear"),
+        towers=5, epochs=3, batch_size=32, subset_size=160, lr=1e-3,
+    )
+    res = train_zinc(cfg)
+    losses = [h["loss"] for h in res["history"]]
+    assert losses[-1] < losses[0], losses
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from mma_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+
+    payload = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+        "epoch": jnp.asarray(7),
+    }
+    save_checkpoint(str(tmp_path), 7, payload)
+    step, restored = restore_checkpoint(str(tmp_path))
+    assert step == 7
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["w"]), np.asarray(payload["params"]["w"])
+    )
