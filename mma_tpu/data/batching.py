@@ -14,6 +14,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 import jax.numpy as jnp
 
+from mma_tpu.graph.build import chunk_hint_from_row_ptr
 from mma_tpu.graph.container import BatchedGraphs, Graph
 
 
@@ -72,6 +73,7 @@ def batch_graphs(
         node_mask=jnp.asarray(node_mask),
         deg=jnp.asarray(deg),
         row_ptr=jnp.asarray(row_ptr),
+        chunk_hint=chunk_hint_from_row_ptr(row_ptr, n_node),
     )
 
     def pack(parts: Sequence[np.ndarray], total: int, pad_to: int):

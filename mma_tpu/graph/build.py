@@ -18,14 +18,24 @@ from typing import Optional, Sequence
 import numpy as np
 import jax.numpy as jnp
 
+from mma_tpu.constants import BLOCK_B, BLOCK_R, EDGE_PAD_MULTIPLE, NODE_PAD_MULTIPLE
 from mma_tpu.graph.container import Graph
-
-NODE_PAD_MULTIPLE = 8
-EDGE_PAD_MULTIPLE = 128
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def chunk_hint_from_row_ptr(row_ptr: np.ndarray, num_rows: int,
+                            block_r: int = BLOCK_R, block_b: int = BLOCK_B) -> int:
+    """Max aligned edge chunks any ``block_r``-row window touches (static
+    grid bound for the fused Pallas kernel)."""
+    n_blocks = _round_up(max(num_rows, 1), block_r) // block_r
+    idx = np.minimum(np.arange(n_blocks + 1) * block_r, num_rows)
+    bounds = np.asarray(row_ptr)[idx]
+    starts, ends = bounds[:-1], bounds[1:]
+    counts = -(-ends // block_b) - starts // block_b  # ceil(end/B) - floor(start/B)
+    return max(int(counts.max(initial=1)), 1)
 
 
 def graph_from_edges(
@@ -83,6 +93,7 @@ def graph_from_edges(
         node_mask=jnp.asarray(node_mask),
         deg=jnp.asarray(deg),
         row_ptr=jnp.asarray(row_ptr),
+        chunk_hint=chunk_hint_from_row_ptr(row_ptr, n_node),
     )
 
 

@@ -33,21 +33,21 @@ import jax
 import jax.numpy as jnp
 
 
-def _dataclass_pytree(cls):
-    """Register a dataclass as a pytree (all fields are leaves)."""
-    fields = [f.name for f in dataclasses.fields(cls)]
+def _dataclass_pytree(cls, static_fields=()):
+    """Register a dataclass as a pytree; ``static_fields`` go to aux data."""
+    fields = [f.name for f in dataclasses.fields(cls) if f.name not in static_fields]
 
     def flatten(obj):
-        return tuple(getattr(obj, n) for n in fields), None
+        aux = tuple(getattr(obj, n) for n in static_fields)
+        return tuple(getattr(obj, n) for n in fields), aux
 
-    def unflatten(_, leaves):
-        return cls(*leaves)
+    def unflatten(aux, leaves):
+        return cls(**dict(zip(fields, leaves)), **dict(zip(static_fields, aux)))
 
     jax.tree_util.register_pytree_node(cls, flatten, unflatten)
     return cls
 
 
-@_dataclass_pytree
 @dataclasses.dataclass
 class Graph:
     """A single graph (or disjoint union of graphs) in padded edge-list form.
@@ -62,6 +62,10 @@ class Graph:
     node_mask: jnp.ndarray  # (N,) bool — True for real nodes
     deg: jnp.ndarray  # (N,) float32 — in-degree over real edges
     row_ptr: jnp.ndarray  # (N+1,) int32 — CSR offsets into the edge list
+    # Static (non-leaf) metadata: host-computed bound on edge chunks per
+    # kernel row block for the fused Pallas kernel (see ops/pallas). None
+    # ⇒ the kernel falls back to a conservative bound.
+    chunk_hint: "int | None" = None
 
     @property
     def n_node(self) -> int:
@@ -81,7 +85,9 @@ class Graph:
         return jnp.sum(self.edge_mask.astype(jnp.int32))
 
 
-@_dataclass_pytree
+_dataclass_pytree(Graph, static_fields=("chunk_hint",))
+
+
 @dataclasses.dataclass
 class BatchedGraphs:
     """A batch of graphs packed as one disjoint union plus readout indices.
@@ -107,3 +113,6 @@ class BatchedGraphs:
     @property
     def num_graphs(self) -> jnp.ndarray:
         return jnp.sum(self.graph_mask.astype(jnp.int32))
+
+
+_dataclass_pytree(BatchedGraphs)

@@ -63,6 +63,7 @@ class NodeClassifier:
         rng: Optional[jax.Array] = None,
         parity_eval_dropout: bool = False,
         use_pallas: bool = False,
+        axis_name: Optional[str] = None,
     ) -> jnp.ndarray:
         """Log-probabilities ``(N, n_class)``.
 
@@ -75,7 +76,11 @@ class NodeClassifier:
         feat_rng = mask_rng = None
         if rng is not None:
             feat_rng, mask_rng = jax.random.split(rng)
-        h = jax.nn.relu(self.gc1.apply(params["gc1"], x, graph, use_pallas=use_pallas))
+        h = jax.nn.relu(
+            self.gc1.apply(
+                params["gc1"], x, graph, use_pallas=use_pallas, axis_name=axis_name
+            )
+        )
         h = dropout(feat_rng if training else None, h, self.dropout_rate)
         mask_dropout_on = training or parity_eval_dropout
         out = self.mma.apply(
@@ -84,5 +89,6 @@ class NodeClassifier:
             graph,
             rng=mask_rng if mask_dropout_on else None,
             use_pallas=use_pallas,
+            axis_name=axis_name,
         )
         return jax.nn.log_softmax(out, axis=-1)

@@ -31,9 +31,10 @@ class GraphConvolution:
             params["b"] = inits.uniform(bk, (self.out_features,), self.out_features**-0.5)
         return params
 
-    def apply(self, params, x, graph: Graph, *, use_pallas: bool = False):
+    def apply(self, params, x, graph: Graph, *, use_pallas: bool = False,
+              axis_name=None):
         support = x @ params["w"]
-        out = binary_spmm(graph, support, use_pallas=use_pallas)
+        out = binary_spmm(graph, support, use_pallas=use_pallas, axis_name=axis_name)
         if self.bias:
             out = out + params["b"]
         return out

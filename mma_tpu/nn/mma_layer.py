@@ -79,9 +79,12 @@ class MMALayer:
         *,
         rng: Optional[jax.Array] = None,
         use_pallas: bool = False,
+        axis_name: Optional[str] = None,
     ) -> jnp.ndarray:
         """``rng`` enables mask dropout (the parity-mode reference applies it
-        in eval too — N2; pass ``rng=None`` for deterministic output)."""
+        in eval too — N2; pass ``rng=None`` for deterministic output).
+        ``axis_name`` runs the edge-driven reductions edge-sharded (see
+        ``mma_tpu.parallel.edge_parallel``)."""
         m = masked_multi_aggregate(
             h,
             graph,
@@ -92,12 +95,15 @@ class MMALayer:
             mask_dropout_rate=self.mask_dropout,
             rng=rng,
             use_pallas=use_pallas,
+            axis_name=axis_name,
         )  # (N, K, F)
         msum = jnp.sum(m, axis=1)  # Σ_k aggregate_k — see module docstring
         scaled = apply_scalers(
             msum, graph.deg, graph.node_mask, self.scalers, parity=self.parity
         )
-        out = binary_spmm(graph, scaled @ params["w"], use_pallas=use_pallas)
+        out = binary_spmm(
+            graph, scaled @ params["w"], use_pallas=use_pallas, axis_name=axis_name
+        )
         if self.bias:
             out = out + params["b"]
         return out

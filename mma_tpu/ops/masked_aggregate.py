@@ -82,12 +82,18 @@ def masked_multi_aggregate(
     mask_dropout_rate: float = 0.0,
     rng: Optional[jax.Array] = None,
     use_pallas: bool = False,
+    axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
     """K-way masked aggregation: returns ``(N, K, F)`` combined outputs.
 
     For each aggregator ``k``:
     ``S_k[i] = Σ_{e: dst(e)=i} act_k(logits_k[e]) ⊙ h[src(e)]`` followed by
     the spec's center combine. Padding edges contribute the sum-neutral 0.
+
+    ``axis_name``: when set (inside ``shard_map`` with edges partitioned
+    along that mesh axis), local partial segment-sums are ``psum``-combined
+    across devices before the center combine — every usable aggregator's
+    neighbor reduction is a sum, so edge sharding is exact.
     """
     n, f = h.shape
     k = len(specs)
@@ -104,12 +110,14 @@ def masked_multi_aggregate(
     msgs = mask * h_src[:, None, :]
     msgs = jnp.where(graph.edge_mask[:, None, None], msgs, 0.0)
 
-    if use_pallas:
+    if use_pallas and axis_name is None:
         from mma_tpu.ops.pallas.fused_mma import fused_segment_sum
 
         s = fused_segment_sum(msgs.reshape(-1, k * f), graph).reshape(n, k, f)
     else:
         s = segment_sum(msgs, graph.dst, n, sorted=True)  # (N, K, F)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
 
     deg = jnp.maximum(graph.deg, 1.0)[:, None]  # (N, 1), clamped
     outs = []
@@ -117,6 +125,8 @@ def masked_multi_aggregate(
     if need_moments:
         msgs_sq = jnp.where(graph.edge_mask[:, None, None], msgs * msgs, 0.0)
         s2 = segment_sum(msgs_sq, graph.dst, n, sorted=True)
+        if axis_name is not None:
+            s2 = jax.lax.psum(s2, axis_name)
     for idx, sp in enumerate(specs):
         sk = s[:, idx, :]
         if sp.combine == "sum":
@@ -139,7 +149,10 @@ def masked_multi_aggregate(
             mean = sk / deg
             mean_sq = s2[:, idx, :] / deg
             msgs_cu = jnp.where(graph.edge_mask[:, None, None], msgs**3, 0.0)
-            mean_cu = segment_sum(msgs_cu[:, idx, :], graph.dst, n, sorted=True) / deg
+            s3 = segment_sum(msgs_cu[:, idx, :], graph.dst, n, sorted=True)
+            if axis_name is not None:
+                s3 = jax.lax.psum(s3, axis_name)
+            mean_cu = s3 / deg
             m3 = mean_cu - 3.0 * mean * mean_sq + 2.0 * mean**3
             out = jnp.sign(m3) * (jnp.abs(m3) + _EPS) ** (1.0 / 3.0)
         else:

@@ -8,18 +8,36 @@ sorted segment-sum: ``out[i] = Σ_{j ∈ N(i)} x[j]``.
 
 from __future__ import annotations
 
+from typing import Optional
+
+import jax
 import jax.numpy as jnp
 
 from mma_tpu.graph.container import Graph
 from mma_tpu.ops.segment import segment_sum
 
 
-def binary_spmm(graph: Graph, x: jnp.ndarray, *, use_pallas: bool = False) -> jnp.ndarray:
-    """``A @ x`` for the graph's binary adjacency; ``x`` is ``(N, F)``."""
+def binary_spmm(
+    graph: Graph,
+    x: jnp.ndarray,
+    *,
+    use_pallas: bool = False,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """``A @ x`` for the graph's binary adjacency; ``x`` is ``(N, F)``.
+
+    Under ``shard_map`` with the edge list partitioned along ``axis_name``
+    (``mma_tpu.parallel.edge_parallel``), each device reduces its local
+    edge shard to a full-size partial and partials combine with ``psum``
+    (x and the output stay node-replicated).
+    """
     gathered = x[graph.src]
     gathered = jnp.where(graph.edge_mask[:, None], gathered, 0.0)
-    if use_pallas:
+    if use_pallas and axis_name is None:
         from mma_tpu.ops.pallas.fused_mma import fused_segment_sum
 
         return fused_segment_sum(gathered, graph)
-    return segment_sum(gathered, graph.dst, graph.n_node, sorted=True)
+    out = segment_sum(gathered, graph.dst, graph.n_node, sorted=True)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out

@@ -1,0 +1,26 @@
+from mma_tpu.parallel.mesh import make_mesh, initialize_distributed
+from mma_tpu.parallel.edge_parallel import (
+    shard_graph,
+    graph_shard_spec,
+    make_edge_sharded_forward,
+    make_edge_sharded_train_step,
+    pad_edges_for_sharding,
+)
+from mma_tpu.parallel.data_parallel import (
+    stack_batches,
+    shard_stacked_batch,
+    make_dp_train_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "initialize_distributed",
+    "shard_graph",
+    "graph_shard_spec",
+    "make_edge_sharded_forward",
+    "make_edge_sharded_train_step",
+    "pad_edges_for_sharding",
+    "stack_batches",
+    "shard_stacked_batch",
+    "make_dp_train_step",
+]
