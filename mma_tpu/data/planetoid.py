@@ -148,18 +148,15 @@ def load_planetoid(
     srcs, dsts = [], []
     for i, nbrs in graph_dict.items():
         for j in nbrs:
-            if i == j:
-                continue
             srcs.append(i)
             dsts.append(j)
-    edges = np.unique(
-        np.concatenate(
-            [np.stack([srcs, dsts], 1), np.stack([dsts, srcs], 1)], axis=0
-        ),
-        axis=0,
+    from mma_tpu.graph import native
+
+    sym_src, sym_dst = native.symmetrize(
+        np.asarray(srcs, np.int32), np.asarray(dsts, np.int32), num_nodes
     )
     graph = graph_from_edges(
-        edges[:, 1], edges[:, 0], num_nodes, n_node_pad=n_node_pad, n_edge_pad=n_edge_pad
+        sym_src, sym_dst, num_nodes, n_node_pad=n_node_pad, n_edge_pad=n_edge_pad
     )
 
     n_pad = graph.n_node

@@ -60,8 +60,9 @@ def graph_from_edges(
     num_edges = src.shape[0]
 
     if sort and num_edges > 0:
-        order = np.lexsort((src, dst))  # dst-major, src-minor
-        src, dst = src[order], dst[order]
+        from mma_tpu.graph import native
+
+        src, dst, _ = native.sort_edges(src, dst, num_nodes)  # dst-major
 
     n_node = n_node_pad or _round_up(num_nodes + 1, NODE_PAD_MULTIPLE)
     n_edge = n_edge_pad or max(_round_up(num_edges, EDGE_PAD_MULTIPLE), EDGE_PAD_MULTIPLE)
@@ -79,12 +80,12 @@ def graph_from_edges(
     node_mask = np.zeros(n_node, bool)
     node_mask[:num_nodes] = True
 
-    deg = np.bincount(dst, minlength=n_node).astype(np.float32)
+    from mma_tpu.graph import native
+
+    deg = native.degrees(dst, n_node)
     # CSR offsets over the *padded* edge list (padding edges land on the
     # padding node's row, which is fine — its row is masked out).
-    counts = np.bincount(dst_p, minlength=n_node)
-    row_ptr = np.zeros(n_node + 1, np.int32)
-    np.cumsum(counts, out=row_ptr[1:])
+    row_ptr = native.build_row_ptr(dst_p, n_node)
 
     return Graph(
         src=jnp.asarray(src_p),

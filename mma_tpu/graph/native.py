@@ -1,0 +1,135 @@
+"""ctypes binding to the native graph-ops library (native/graphops.cpp),
+with transparent NumPy fallbacks.
+
+Build with ``make -C native`` (done automatically on first import if a
+compiler is available). The native paths replace the O(E log E) numpy
+lexsort with an O(E+N) counting sort and provide symmetrize/dedup and
+edge-balanced partition cuts for multi-host sharding.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libgraphops.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "-s"],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.mma_sort_edges.argtypes = [
+        i32p, i32p, ctypes.c_int64, ctypes.c_int32, i32p, i32p, i32p
+    ]
+    lib.mma_build_row_ptr.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32, i32p]
+    lib.mma_degrees.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32, f32p]
+    lib.mma_symmetrize.argtypes = [
+        i32p, i32p, ctypes.c_int64, ctypes.c_int32, i32p, i32p
+    ]
+    lib.mma_symmetrize.restype = ctypes.c_int64
+    lib.mma_balanced_row_cuts.argtypes = [i32p, ctypes.c_int32, ctypes.c_int32, i32p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def sort_edges(src: np.ndarray, dst: np.ndarray, num_nodes: int
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Stable (dst-major, src-minor) sort; returns (src, dst, perm)."""
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    lib = _load()
+    if lib is None or len(src) == 0:
+        perm = np.lexsort((src, dst)).astype(np.int32)
+        return src[perm], dst[perm], perm
+    out_src = np.empty_like(src)
+    out_dst = np.empty_like(dst)
+    perm = np.empty_like(src)
+    lib.mma_sort_edges(src, dst, len(src), num_nodes, out_src, out_dst, perm)
+    return out_src, out_dst, perm
+
+
+def build_row_ptr(dst_sorted: np.ndarray, num_nodes: int) -> np.ndarray:
+    dst_sorted = np.ascontiguousarray(dst_sorted, np.int32)
+    lib = _load()
+    if lib is None:
+        counts = np.bincount(dst_sorted, minlength=num_nodes)
+        row_ptr = np.zeros(num_nodes + 1, np.int32)
+        np.cumsum(counts, out=row_ptr[1:])
+        return row_ptr
+    row_ptr = np.empty(num_nodes + 1, np.int32)
+    lib.mma_build_row_ptr(dst_sorted, len(dst_sorted), num_nodes, row_ptr)
+    return row_ptr
+
+
+def degrees(dst: np.ndarray, num_nodes: int) -> np.ndarray:
+    dst = np.ascontiguousarray(dst, np.int32)
+    lib = _load()
+    if lib is None:
+        return np.bincount(dst, minlength=num_nodes).astype(np.float32)
+    deg = np.empty(num_nodes, np.float32)
+    lib.mma_degrees(dst, len(dst), num_nodes, deg)
+    return deg
+
+
+def symmetrize(src: np.ndarray, dst: np.ndarray, num_nodes: int
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Undirected-graph semantics: both directions, no dups/self-loops."""
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    lib = _load()
+    if lib is None or len(src) == 0:
+        keep = src != dst
+        pairs = np.concatenate(
+            [np.stack([dst[keep], src[keep]], 1), np.stack([src[keep], dst[keep]], 1)]
+        )
+        pairs = np.unique(pairs, axis=0)
+        return pairs[:, 1].copy(), pairs[:, 0].copy()
+    out_src = np.empty(2 * len(src), np.int32)
+    out_dst = np.empty(2 * len(src), np.int32)
+    m = lib.mma_symmetrize(src, dst, len(src), num_nodes, out_src, out_dst)
+    return out_src[:m].copy(), out_dst[:m].copy()
+
+
+def balanced_row_cuts(row_ptr: np.ndarray, num_parts: int) -> np.ndarray:
+    """Contiguous row cut points giving ~equal edges per part."""
+    row_ptr = np.ascontiguousarray(row_ptr, np.int32)
+    n = len(row_ptr) - 1
+    lib = _load()
+    if lib is None:
+        total = int(row_ptr[-1])
+        targets = (total * np.arange(1, num_parts)) // num_parts
+        cuts = np.searchsorted(row_ptr[:-1], targets, side="left").astype(np.int32)
+        return np.concatenate([[0], cuts, [n]]).astype(np.int32)
+    cuts = np.empty(num_parts + 1, np.int32)
+    lib.mma_balanced_row_cuts(row_ptr, n, num_parts, cuts)
+    return cuts

@@ -1,0 +1,116 @@
+"""Graph container/build invariants, native-vs-NumPy parity, and the
+fused Pallas kernel (interpret mode) across precisions."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mma_tpu.graph import graph_from_dense, graph_from_edges, graph_from_neighbor_lists
+from mma_tpu.graph import native
+from mma_tpu.graph.build import chunk_hint_from_row_ptr
+from mma_tpu.ops.pallas.fused_mma import fused_segment_sum
+from mma_tpu.ops.segment import segment_sum
+
+from helpers import random_symmetric_graph
+
+
+def test_graph_from_dense_roundtrip():
+    a, add_all, g = random_symmetric_graph(17, p=0.3, seed=0)
+    e_mask = np.asarray(g.edge_mask)
+    src, dst = np.asarray(g.src)[e_mask], np.asarray(g.dst)[e_mask]
+    # dst sorted, src ascending within dst (reference CSR neighbor order)
+    assert np.all(np.diff(dst) >= 0)
+    for i in range(17):
+        nbrs = src[dst == i]
+        np.testing.assert_array_equal(nbrs, np.sort(np.asarray(add_all[i])))
+    np.testing.assert_array_equal(
+        np.asarray(g.deg)[:17], a.sum(axis=1)
+    )
+    # row_ptr consistent
+    rp = np.asarray(g.row_ptr)
+    for i in range(17):
+        assert rp[i + 1] - rp[i] == len(add_all[i])
+
+
+def test_neighbor_list_equals_dense():
+    a, add_all, g1 = random_symmetric_graph(23, p=0.2, seed=1)
+    g2 = graph_from_neighbor_lists(add_all)
+    np.testing.assert_array_equal(np.asarray(g1.src), np.asarray(g2.src))
+    np.testing.assert_array_equal(np.asarray(g1.dst), np.asarray(g2.dst))
+
+
+def test_native_matches_numpy():
+    rs = np.random.RandomState(0)
+    e, n = 5000, 300
+    src = rs.randint(0, n, e).astype(np.int32)
+    dst = rs.randint(0, n, e).astype(np.int32)
+    s, d, perm = native.sort_edges(src, dst, n)
+    order = np.lexsort((src, dst))
+    np.testing.assert_array_equal(s, src[order])
+    np.testing.assert_array_equal(d, dst[order])
+    np.testing.assert_array_equal(src[perm], s)
+
+    rp = native.build_row_ptr(d, n)
+    counts = np.bincount(dst, minlength=n)
+    np.testing.assert_array_equal(np.diff(rp), counts)
+
+    deg = native.degrees(dst, n)
+    np.testing.assert_array_equal(deg, counts.astype(np.float32))
+
+    ss, dd = native.symmetrize(src, dst, n)
+    keep = src != dst
+    pairs = np.unique(
+        np.concatenate(
+            [np.stack([dst[keep], src[keep]], 1), np.stack([src[keep], dst[keep]], 1)]
+        ),
+        axis=0,
+    )
+    np.testing.assert_array_equal(dd, pairs[:, 0])
+    np.testing.assert_array_equal(ss, pairs[:, 1])
+
+    cuts = native.balanced_row_cuts(rp, 4)
+    per_part = np.diff(rp[cuts]).astype(float)
+    assert cuts[0] == 0 and cuts[-1] == n
+    assert per_part.max() - per_part.min() <= counts.max() + e / 4 * 0.1
+
+
+def test_chunk_hint_bounds_actual_chunks():
+    _, _, g = random_symmetric_graph(300, p=0.1, seed=2)
+    rp = np.asarray(g.row_ptr)
+    hint = chunk_hint_from_row_ptr(rp, g.n_node)
+    assert hint == g.chunk_hint
+    # every 256-row window's aligned 1024-chunk count ≤ hint
+    from mma_tpu.constants import BLOCK_B, BLOCK_R
+
+    for r0 in range(0, g.n_node, BLOCK_R):
+        r1 = min(r0 + BLOCK_R, g.n_node)
+        s, e = rp[r0], rp[r1]
+        assert -(-e // BLOCK_B) - s // BLOCK_B <= hint
+
+
+@pytest.mark.parametrize(
+    "precision,tol",
+    [("fastest", 2e-1), ("high", 5e-4), ("highest", 1e-5)],
+)
+def test_fused_segment_sum_precisions(precision, tol):
+    """The kernel's bf16-split error model holds on every backend (the
+    splits are explicit casts, so interpret mode reproduces TPU error)."""
+    _, _, g = random_symmetric_graph(400, p=0.05, seed=3)
+    rs = np.random.RandomState(0)
+    data = rs.randn(g.n_edge, 32).astype(np.float32)
+    data[~np.asarray(g.edge_mask)] = 0.0
+    want = segment_sum(jnp.asarray(data), g.dst, g.n_node)
+    got = fused_segment_sum(jnp.asarray(data), g, precision=precision)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=tol, atol=tol)
+
+
+def test_fused_segment_sum_custom_blocks_fallback():
+    _, _, g = random_symmetric_graph(100, p=0.1, seed=4)
+    rs = np.random.RandomState(1)
+    data = rs.randn(g.n_edge, 16).astype(np.float32)
+    data[~np.asarray(g.edge_mask)] = 0.0
+    want = segment_sum(jnp.asarray(data), g.dst, g.n_node)
+    got = fused_segment_sum(
+        jnp.asarray(data), g, block_r=128, block_b=1024, precision="highest"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
