@@ -163,22 +163,43 @@ def fused_segment_sum(
     default), ``"highest"`` (3-term split, ≈ exact f32).
     """
     assert data.ndim == 2 and data.shape[0] == graph.n_edge, data.shape
+
+    # The kernel needs a custom VJP (pallas_call has no AD rule); the
+    # transpose of a segment-sum is a gather by destination.
+    @jax.custom_vjp
+    def _op(d):
+        return _run(d)
+
+    def _op_fwd(d):
+        return _run(d), None
+
+    def _op_bwd(_, ct):
+        ct_e = ct[graph.dst]
+        ct_e = jnp.where(graph.edge_mask[:, None], ct_e, 0.0)
+        return (ct_e,)
+
+    _op.defvjp(_op_fwd, _op_bwd)
+
     passes = _PASSES[precision]
     # chunk_hint is computed at graph build against the default block
     # sizes; a custom blocking falls back to the conservative bound.
     max_chunks = (
         graph.chunk_hint if (block_r, block_b) == (BLOCK_R, BLOCK_B) else None
     )
-    dst = graph.dst
-    if max_chunks is None or graph.n_edge % block_b != 0:
-        # Conservative fallback: a full sweep of chunks per row block.
-        pad = (-graph.n_edge) % block_b
-        if pad:
-            data = jnp.pad(data, ((0, pad), (0, 0)))
-            dst = jnp.pad(dst, (0, pad), constant_values=graph.n_node - 1)
-        max_chunks = (graph.n_edge + pad) // block_b
-    return _fused_segment_sum(
-        data, dst, graph.row_ptr,
-        block_r=block_r, block_b=block_b, max_chunks=max_chunks,
-        interpret=jax.devices()[0].platform != "tpu", passes=passes,
-    )
+    def _run(d):
+        dst = graph.dst
+        mc = max_chunks
+        if mc is None or graph.n_edge % block_b != 0:
+            # Conservative fallback: a full sweep of chunks per row block.
+            pad = (-graph.n_edge) % block_b
+            if pad:
+                d = jnp.pad(d, ((0, pad), (0, 0)))
+                dst = jnp.pad(dst, (0, pad), constant_values=graph.n_node - 1)
+            mc = (graph.n_edge + pad) // block_b
+        return _fused_segment_sum(
+            d, dst, graph.row_ptr,
+            block_r=block_r, block_b=block_b, max_chunks=mc,
+            interpret=jax.devices()[0].platform != "tpu", passes=passes,
+        )
+
+    return _op(data)

@@ -114,3 +114,21 @@ def test_fused_segment_sum_custom_blocks_fallback():
         jnp.asarray(data), g, block_r=128, block_b=1024, precision="highest"
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_segment_sum_grad_matches_xla():
+    """Custom VJP (gather-by-dst) matches the XLA segment-sum gradient."""
+    import jax
+
+    _, _, g = random_symmetric_graph(100, p=0.1, seed=5)
+    rs = np.random.RandomState(0)
+    data = jnp.asarray(rs.randn(g.n_edge, 16).astype(np.float32))
+
+    def mask(d):
+        return jnp.where(g.edge_mask[:, None], d, 0.0)
+
+    g1 = jax.grad(lambda d: jnp.sum(
+        fused_segment_sum(mask(d), g, precision="highest") ** 2))(data)
+    g2 = jax.grad(lambda d: jnp.sum(
+        segment_sum(mask(d), g.dst, g.n_node) ** 2))(data)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
