@@ -43,20 +43,35 @@ _EPS = 1e-5
 
 
 def mma_mask_logits(h: jnp.ndarray, mask_weights: jnp.ndarray, graph: Graph) -> jnp.ndarray:
-    """Per-edge mask logits for K aggregators: ``(E, K, F)``.
+    """Per-edge mask logits for K aggregators: ``(E, K·F)`` (flat layout).
 
     ``mask_weights``: ``(K, 2F, F)`` — one ``[W_top; W_bot]`` per
     aggregator (reference's per-aggregator mask matrices,
     ``node_classification/models.py:23-43``).
+
+    All edge-dimension tensors stay in flat ``(E, K·F)`` layout: with
+    small K the ``(E, K, F)`` form has (K, F) minor dims that tile far
+    below the TPU-native (8, 128), costing up to 8× memory traffic.
+    Aggregator ``k`` owns lanes ``[k·F, (k+1)·F)``.
     """
     k, two_f, f = mask_weights.shape
-    n = h.shape[0]
     w_top = mask_weights[:, : two_f // 2, :]  # (K, F, F)
     w_bot = mask_weights[:, two_f // 2 :, :]
     # One batched MXU matmul each: (N, F) x (F, K*F).
-    c = (h @ w_top.transpose(1, 0, 2).reshape(f, k * f)).reshape(n, k, f)
-    d = (h @ w_bot.transpose(1, 0, 2).reshape(f, k * f)).reshape(n, k, f)
+    c = h @ w_top.transpose(1, 0, 2).reshape(f, k * f)
+    d = h @ w_bot.transpose(1, 0, 2).reshape(f, k * f)
     return c[graph.dst] + d[graph.src]
+
+
+def _sigmoid_lane_pattern(specs: Sequence[AggSpec], activation: str,
+                          parity: bool, f: int) -> jnp.ndarray:
+    """(K·F,) bool: which flat lanes get the sigmoid (N1 table)."""
+    import numpy as np
+
+    pat = np.repeat(
+        np.array([s.applies_sigmoid(activation, parity) for s in specs], bool), f
+    )
+    return jnp.asarray(pat)
 
 
 def _apply_mask_activation(
@@ -65,10 +80,10 @@ def _apply_mask_activation(
     activation: str,
     parity: bool,
 ) -> jnp.ndarray:
-    sig = jnp.array(
-        [s.applies_sigmoid(activation, parity) for s in specs], dtype=bool
-    )
-    return jnp.where(sig[None, :, None], jax.nn.sigmoid(logits), logits)
+    """logits: (E, K·F) flat."""
+    f = logits.shape[1] // len(specs)
+    pat = _sigmoid_lane_pattern(specs, activation, parity, f)
+    return jnp.where(pat[None, :], jax.nn.sigmoid(logits), logits)
 
 
 def masked_multi_aggregate(
@@ -99,34 +114,47 @@ def masked_multi_aggregate(
     k = len(specs)
     assert mask_weights.shape == (k, 2 * f, f), (mask_weights.shape, (k, 2 * f, f))
 
-    logits = mma_mask_logits(h, mask_weights, graph)  # (E, K, F)
-    mask = _apply_mask_activation(logits, specs, activation, parity)
+    logits = mma_mask_logits(h, mask_weights, graph)  # (E, K·F) flat
+    dropout_on = rng is not None and mask_dropout_rate > 0.0
+    need_moments = any(sp.combine in ("std", "moment_3") for sp in specs)
 
-    if rng is not None and mask_dropout_rate > 0.0:
-        keep = jax.random.bernoulli(rng, 1.0 - mask_dropout_rate, mask.shape)
-        mask = jnp.where(keep, mask / (1.0 - mask_dropout_rate), 0.0)
+    if use_pallas and axis_name is None and not dropout_on and not need_moments:
+        # Fully fused path: activation + tile + multiply + segment-sum in
+        # one Pallas pass — no (E, K·F) mask/message intermediates in HBM.
+        from mma_tpu.ops.pallas.fused_mma import fused_masked_aggregate
 
-    h_src = h[graph.src]  # (E, F)
-    msgs = mask * h_src[:, None, :]
-    msgs = jnp.where(graph.edge_mask[:, None, None], msgs, 0.0)
-
-    if use_pallas and axis_name is None:
-        from mma_tpu.ops.pallas.fused_mma import fused_segment_sum
-
-        s = fused_segment_sum(msgs.reshape(-1, k * f), graph).reshape(n, k, f)
+        pat = _sigmoid_lane_pattern(specs, activation, parity, f)
+        s = fused_masked_aggregate(logits, h[graph.src], pat, graph, k)
+        msgs = None
     else:
-        s = segment_sum(msgs, graph.dst, n, sorted=True)  # (N, K, F)
+        mask = _apply_mask_activation(logits, specs, activation, parity)
+        if dropout_on:
+            keep = jax.random.bernoulli(rng, 1.0 - mask_dropout_rate, mask.shape)
+            mask = jnp.where(keep, mask / (1.0 - mask_dropout_rate), 0.0)
+
+        h_src = jnp.tile(h[graph.src], (1, k))  # (E, K·F) per-aggregator
+        msgs = mask * h_src
+        msgs = jnp.where(graph.edge_mask[:, None], msgs, 0.0)
+
+        if use_pallas and axis_name is None:
+            from mma_tpu.ops.pallas.fused_mma import fused_segment_sum
+
+            s = fused_segment_sum(msgs, graph)  # (N, K·F)
+        else:
+            s = segment_sum(msgs, graph.dst, n, sorted=True)  # (N, K·F)
     if axis_name is not None:
         s = jax.lax.psum(s, axis_name)
+    s = s.reshape(n, k, f)
 
     deg = jnp.maximum(graph.deg, 1.0)[:, None]  # (N, 1), clamped
     outs = []
     need_moments = any(sp.combine in ("std", "moment_3") for sp in specs)
     if need_moments:
-        msgs_sq = jnp.where(graph.edge_mask[:, None, None], msgs * msgs, 0.0)
+        msgs_sq = jnp.where(graph.edge_mask[:, None], msgs * msgs, 0.0)
         s2 = segment_sum(msgs_sq, graph.dst, n, sorted=True)
         if axis_name is not None:
             s2 = jax.lax.psum(s2, axis_name)
+        s2 = s2.reshape(n, k, f)
     for idx, sp in enumerate(specs):
         sk = s[:, idx, :]
         if sp.combine == "sum":
@@ -148,8 +176,9 @@ def masked_multi_aggregate(
         elif sp.combine == "moment_3":
             mean = sk / deg
             mean_sq = s2[:, idx, :] / deg
-            msgs_cu = jnp.where(graph.edge_mask[:, None, None], msgs**3, 0.0)
-            s3 = segment_sum(msgs_cu[:, idx, :], graph.dst, n, sorted=True)
+            msgs_k = msgs[:, idx * f : (idx + 1) * f]
+            msgs_cu = jnp.where(graph.edge_mask[:, None], msgs_k**3, 0.0)
+            s3 = segment_sum(msgs_cu, graph.dst, n, sorted=True)
             if axis_name is not None:
                 s3 = jax.lax.psum(s3, axis_name)
             mean_cu = s3 / deg

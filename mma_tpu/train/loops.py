@@ -24,6 +24,7 @@ from mma_tpu.train.config import NodeClassificationConfig, ZincConfig
 from mma_tpu.train.logger import JsonlLogger
 from mma_tpu.train.metrics import accuracy
 from mma_tpu.train.optim import ReduceLROnPlateau, make_optimizer, set_learning_rate
+from mma_tpu.utils.profiling import trace
 
 
 def train_node_classification(cfg: NodeClassificationConfig, data=None):
@@ -86,7 +87,10 @@ def train_node_classification(cfg: NodeClassificationConfig, data=None):
     for epoch in range(cfg.epochs):
         t = time.time()
         key, step_key, eval_key = jax.random.split(key, 3)
-        params, opt_state, loss_train, logp_train = train_step(params, opt_state, step_key)
+        with trace("train_step"):
+            params, opt_state, loss_train, logp_train = train_step(
+                params, opt_state, step_key
+            )
         acc_train = accuracy(logp_train[idx_train], labels[idx_train])
         if cfg.fastmode:
             logp = logp_train  # train.py:82-86: reuse the train-mode forward
@@ -199,9 +203,10 @@ def train_zinc(cfg: ZincConfig, datasets=None):
             cfg.batch_size, n_node=n_node, n_edge=n_edge, shuffle=True, seed=cfg.seed + epoch
         ):
             key, step_key = jax.random.split(key)
-            params, state, opt_state, loss = train_step(
-                params, state, opt_state, batch, step_key
-            )
+            with trace("train_step"):
+                params, state, opt_state, loss = train_step(
+                    params, state, opt_state, batch, step_key
+                )
             ng = float(np.asarray(batch.num_graphs))
             total_loss += float(loss) * ng
             total_graphs += ng

@@ -132,3 +132,31 @@ def test_fused_segment_sum_grad_matches_xla():
     g2 = jax.grad(lambda d: jnp.sum(
         segment_sum(mask(d), g.dst, g.n_node) ** 2))(data)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+
+def test_mma_layer_pallas_path_matches_xla():
+    """MMALayer with use_pallas (fully fused kernel) ≈ XLA path, fwd+grad."""
+    import jax
+    from mma_tpu.nn.mma_layer import MMALayer
+
+    _, _, g = random_symmetric_graph(200, p=0.08, seed=6)
+    rs = np.random.RandomState(0)
+    h = jnp.asarray(rs.randn(g.n_node, 64).astype(np.float32))
+    layer = MMALayer(in_features=64, out_features=8,
+                     aggregators=("mean", "max"))
+    params = layer.init(jax.random.PRNGKey(0))
+    out_x = layer.apply(params, h, g, use_pallas=False)
+    out_p = layer.apply(params, h, g, use_pallas=True)
+    n = int(np.asarray(g.node_mask).sum())
+    np.testing.assert_allclose(
+        np.asarray(out_p)[:n], np.asarray(out_x)[:n], rtol=2e-3, atol=2e-3
+    )
+
+    def loss(p, use_pallas):
+        o = layer.apply(p, h, g, use_pallas=use_pallas)
+        return jnp.sum(jnp.where(g.node_mask[:, None], o, 0.0) ** 2)
+
+    g_x = jax.grad(lambda p: loss(p, False))(params)
+    g_p = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-2, atol=5e-2)
