@@ -53,7 +53,16 @@ class MMALayer:
 
     @property
     def specs(self):
-        return tuple(get_agg_spec(a) for a in self.aggregators)
+        specs = tuple(get_agg_spec(a) for a in self.aggregators)
+        if self.parity:
+            for s in specs:
+                if not s.reference_usable:
+                    raise ValueError(
+                        f"aggregator {s.name!r} is unusable in the reference "
+                        "(crashes — SURVEY §5 N5); it exists only with "
+                        "parity=False (fixed semantics)"
+                    )
+        return specs
 
     def init(self, key):
         wk, bk, mk = jax.random.split(key, 3)
