@@ -94,6 +94,7 @@ class ZincNet:
         training: bool = False,
         rng: Optional[jax.Array] = None,
         parity_eval_dropout: bool = False,
+        use_pallas: bool = False,
     ):
         """Per-graph predictions ``(G,)`` plus updated BatchNorm state.
 
@@ -115,6 +116,7 @@ class ZincNet:
                 g,
                 edge_attr=e,
                 rng=rngs[i] if rngs is not None else None,
+                use_pallas=use_pallas,
             )
             h, new_state[f"bn{i}"] = self.bn.apply(
                 params[f"bn{i}"], state[f"bn{i}"], h, mask=g.node_mask, training=training

@@ -158,50 +158,72 @@ class MultiMaskConv:
             out = jax.nn.relu(out) @ lp["w"] + lp["b"]
         return out
 
-    def _messages_for_aggregator(self, pre_params_k, x_t, e_feat, graph: Graph):
-        """Messages (E, T, F) for one aggregator's pre-NNs, decomposed.
+    def _messages_for_aggregator(self, pre_params_k, x_flat, e_feat, graph: Graph):
+        """Messages for one aggregator's pre-NNs, flat ``(E, T·F)``.
 
-        ``x_t``: (N, T, F_in) per-tower node features. The first pre-NN
-        layer's weight (msg_in, F) splits into dst/src/edge blocks applied
-        per node / per edge before gathering.
+        ``x_flat``: (N, T·F) per-tower node features (tower-major lane
+        blocks). Edge tensors stay flat — a ``(E, T, F)`` layout has
+        (T, F) minor dims far below the native (8, 128) tile. The first
+        pre-NN layer's weight (msg_in, F) splits into dst/src/edge blocks
+        applied per node / per edge-attribute before gathering.
         """
-        f = self.f_in
-        outs = []
-        for ti in range(self.towers):
-            lp0 = pre_params_k[ti][0]
-            w, b = lp0["w"], lp0["b"]
-            w_dst, w_src = w[:f], w[f : 2 * f]
-            p_dst = x_t[:, ti, :] @ w_dst  # (N, F)
-            p_src = x_t[:, ti, :] @ w_src
-            msg = p_dst[graph.dst] + p_src[graph.src] + b
-            if self.edge_dim is not None:
-                msg = msg + e_feat @ w[2 * f :]
-            for lp in pre_params_k[ti][1:]:
-                msg = jax.nn.relu(msg) @ lp["w"] + lp["b"]
-            outs.append(msg)
-        return jnp.stack(outs, axis=1)  # (E, T, F)
+        f, t = self.f_in, self.towers
+        # Stack all towers' first-layer weights: (T, msg_in, F).
+        w0 = jnp.stack([pre_params_k[ti][0]["w"] for ti in range(t)])
+        b0 = jnp.concatenate([pre_params_k[ti][0]["b"] for ti in range(t)])
+        if self.divide_input:
+            p_dst = jnp.einsum(
+                "ntf,tfg->ntg", x_flat.reshape(-1, t, f), w0[:, :f, :]
+            ).reshape(-1, t * f)
+            p_src = jnp.einsum(
+                "ntf,tfg->ntg", x_flat.reshape(-1, t, f), w0[:, f : 2 * f, :]
+            ).reshape(-1, t * f)
+        else:
+            x1 = x_flat[:, :f]  # towers share features
+            p_dst = x1 @ w0[:, :f, :].transpose(1, 0, 2).reshape(f, t * f)
+            p_src = x1 @ w0[:, f : 2 * f, :].transpose(1, 0, 2).reshape(f, t * f)
+        msg = p_dst[graph.dst] + p_src[graph.src] + b0
+        if self.edge_dim is not None:
+            w_e = w0[:, 2 * f :, :].transpose(1, 0, 2).reshape(f, t * f)
+            msg = msg + e_feat @ w_e
+        if self.pre_layers > 1:
+            # Deeper pre-NNs are per-tower (rare; reference uses 1 layer).
+            parts = []
+            for ti in range(t):
+                m = msg[:, ti * f : (ti + 1) * f]
+                for lp in pre_params_k[ti][1:]:
+                    m = jax.nn.relu(m) @ lp["w"] + lp["b"]
+                parts.append(m)
+            msg = jnp.concatenate(parts, axis=1)
+        return msg  # (E, T·F)
 
     # ---- aggregation ---------------------------------------------------
 
-    def _reduce(self, name, msgs, graph: Graph, deg):
-        """One scatter-reduce over edges → (N, T, F); empty segments → 0."""
+    def _reduce(self, name, msgs, graph: Graph, deg, use_pallas=False):
+        """One scatter-reduce over flat edges → (N, T·F); empties → 0."""
         n = graph.n_node
-        valid = graph.edge_mask[:, None, None]
+        valid = graph.edge_mask[:, None]
+
+        def ssum(x):
+            x = jnp.where(valid, x, 0.0)
+            if use_pallas:
+                from mma_tpu.ops.pallas.fused_mma import fused_segment_sum
+
+                return fused_segment_sum(x, graph)
+            return segment_sum(x, graph.dst, n)
+
         if name == "sum":
-            return segment_sum(jnp.where(valid, msgs, 0.0), graph.dst, n)
+            return ssum(msgs)
         if name == "mean":
-            s = segment_sum(jnp.where(valid, msgs, 0.0), graph.dst, n)
-            return s / deg  # deg pre-clamped to ≥1; empty segments → 0
+            return ssum(msgs) / deg  # deg pre-clamped ≥1; empty segments → 0
         if name == "max":
             r = segment_max(jnp.where(valid, msgs, -jnp.inf), graph.dst, n)
-            return jnp.where(graph.deg[:, None, None] > 0, r, 0.0)
+            return jnp.where(graph.deg[:, None] > 0, r, 0.0)
         if name == "min":
             r = segment_min(jnp.where(valid, msgs, jnp.inf), graph.dst, n)
-            return jnp.where(graph.deg[:, None, None] > 0, r, 0.0)
+            return jnp.where(graph.deg[:, None] > 0, r, 0.0)
         if name in ("var", "std"):
-            s = segment_sum(jnp.where(valid, msgs, 0.0), graph.dst, n)
-            s2 = segment_sum(jnp.where(valid, msgs * msgs, 0.0), graph.dst, n)
-            mean, mean_sq = s / deg, s2 / deg
+            mean, mean_sq = ssum(msgs) / deg, ssum(msgs * msgs) / deg
             out = mean_sq - mean * mean
             if name == "std":
                 out = jnp.sqrt(jax.nn.relu(out) + 1e-5)
@@ -210,6 +232,8 @@ class MultiMaskConv:
 
     def _scale(self, agg, deg):
         """Scaler stage → (N, T, S·K·F); parity compounds (N9)."""
+        """Per-scaler copies of ``agg`` (a list, one (N, ·) array per
+        scaler, in scaler order); parity compounds (N9)."""
         avg = dict(self.avg_deg)
         outs = []
         cur = agg
@@ -233,7 +257,7 @@ class MultiMaskConv:
                 outs.append(cur)
             else:
                 outs.append(base if fac is None else base * fac)
-        return jnp.concatenate(outs, axis=-1)
+        return outs
 
     # ---- forward -------------------------------------------------------
 
@@ -245,18 +269,21 @@ class MultiMaskConv:
         edge_attr: Optional[jnp.ndarray] = None,
         *,
         rng: Optional[jax.Array] = None,
+        use_pallas: bool = False,
     ) -> jnp.ndarray:
         """x: (N, in_channels) → (N, out_channels).
 
         ``rng`` enables the always-on message dropout (N2); pass ``None``
-        for deterministic output.
+        for deterministic output. ``use_pallas`` routes the sum-family
+        segment reductions through the fused kernel.
         """
         n = x.shape[0]
         t, f = self.towers, self.f_in
+        # Flat tower-major layout: (N, T·F) (see _messages_for_aggregator).
         if self.divide_input:
-            x_t = x.reshape(n, t, f)
+            x_flat = x.reshape(n, t * f)
         else:
-            x_t = jnp.broadcast_to(x[:, None, :], (n, t, f))
+            x_flat = jnp.tile(x, (1, t))
 
         e_feat = None
         if self.edge_dim is not None:
@@ -269,11 +296,11 @@ class MultiMaskConv:
             # N7: pre-NNs stay at init — cut them out of the grad graph.
             pre_nns = jax.lax.stop_gradient(pre_nns)
 
-        deg = jnp.maximum(graph.deg, 1.0)[:, None, None]  # (N,1,1) clamp_(1)
+        deg = jnp.maximum(graph.deg, 1.0)[:, None]  # (N, 1) clamp_(1)
 
         if self.parity:
             # N6: every aggregator consumes the LAST aggregator's messages.
-            msgs = self._messages_for_aggregator(pre_nns[-1], x_t, e_feat, graph)
+            msgs = self._messages_for_aggregator(pre_nns[-1], x_flat, e_feat, graph)
             msgs = dropout(rng, msgs, self.dropout_rate)
             per_agg = {a: msgs for a in self.aggregators}
         else:
@@ -282,20 +309,30 @@ class MultiMaskConv:
                 jax.random.split(rng, len(self.aggregators)) if rng is not None else None
             )
             for ki, a in enumerate(self.aggregators):
-                m = self._messages_for_aggregator(pre_nns[ki], x_t, e_feat, graph)
+                m = self._messages_for_aggregator(pre_nns[ki], x_flat, e_feat, graph)
                 per_agg[a] = dropout(rngs[ki] if rngs is not None else None, m, self.dropout_rate)
 
-        agg = jnp.concatenate(
-            [self._reduce(a, per_agg[a], graph, deg) for a in self.aggregators],
-            axis=-1,
-        )  # (N, T, K·F)
-        scaled = self._scale(agg, deg)  # (N, T, S·K·F)
-
-        out = jnp.concatenate([x_t, scaled], axis=-1)  # (N, T, (K·S+1)·F)
-        tower_outs = [
-            self._pre_nn_apply(params["post_nns"][ti], out[:, ti, :])
-            for ti in range(t)
+        # reds[k]: (N, T·F); scaled[s][k]: (N, T·F).
+        reds = [
+            self._reduce(a, per_agg[a], graph, deg, use_pallas=use_pallas)
+            for a in self.aggregators
         ]
+        scaled = [self._scale(r, deg) for r in reds]  # [k][s] → transpose below
+
+        # Reassemble the reference's per-tower feature order
+        # [x_t ‖ (for s in scalers: for k in aggs: red_skt)] — node-level
+        # slicing only (cheap), edge-level tensors never left flat layout.
+        tower_outs = []
+        for ti in range(t):
+            sl = slice(ti * f, (ti + 1) * f)
+            pieces = [x_flat[:, sl]]
+            for si in range(len(self.scalers)):
+                for ki in range(len(self.aggregators)):
+                    pieces.append(scaled[ki][si][:, sl])
+            tower_in = jnp.concatenate(pieces, axis=1)  # (N, (K·S+1)·F)
+            tower_outs.append(
+                self._pre_nn_apply(params["post_nns"][ti], tower_in)
+            )
         out = jnp.concatenate(tower_outs, axis=1)  # (N, out_channels)
         lin = Dense(self.out_channels, self.out_channels)
         return lin.apply(params["lin"], out)

@@ -174,3 +174,27 @@ def test_batching_padding_invariance():
     p1, _ = model.apply(params, state, b1, training=False)
     p2, _ = model.apply(params, state, b2, training=False)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5, atol=1e-5)
+
+
+def test_divide_input_towers():
+    """divide_input=True splits features between towers (per-tower einsum
+    path of the flat layout)."""
+    a, _, graph = random_symmetric_graph(N, p=0.2, seed=13)
+    rs = np.random.RandomState(6)
+    x = rs.randn(graph.n_node, F).astype(np.float32)
+    edge_attr = rs.randn(graph.n_edge, EDGE_DIM).astype(np.float32)
+    conv = MultiMaskConv(
+        in_channels=F, out_channels=F, aggregators=("sum", "max"),
+        scalers=("identity",), avg_deg=(("lin", 2.0), ("log", 1.0)),
+        edge_dim=EDGE_DIM, towers=2, divide_input=True, parity=False,
+    )
+    params = conv.init(jax.random.PRNGKey(3))
+    out = conv.apply(params, jnp.asarray(x), graph, edge_attr=jnp.asarray(edge_attr))
+    assert out.shape == (graph.n_node, F)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # towers see different feature halves: permuting the second half of
+    # features must change the output
+    x2 = x.copy()
+    x2[:, F // 2:] = x2[::-1, F // 2:]
+    out2 = conv.apply(params, jnp.asarray(x2), graph, edge_attr=jnp.asarray(edge_attr))
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
