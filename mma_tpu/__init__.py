@@ -33,3 +33,14 @@ them exactly, with the default giving the intended math.
 __version__ = "0.1.0"
 
 from mma_tpu.graph.container import Graph, BatchedGraphs  # noqa: F401
+from mma_tpu.graph.build import (  # noqa: F401
+    graph_from_dense,
+    graph_from_edges,
+    graph_from_neighbor_lists,
+)
+from mma_tpu.models import NodeClassifier, ZincNet  # noqa: F401
+from mma_tpu.nn import (  # noqa: F401
+    GraphConvolution,
+    MMALayer,
+    MultiMaskConv,
+)

@@ -1,8 +1,10 @@
 """Planetoid (Cora/Citeseer/Pubmed) loader.
 
 Reproduces the reference's ``load_data`` semantics exactly
-(``node_classification/utils.py:33-119``), including its deviations from
-the standard pipeline — these are load-bearing for accuracy parity:
+(``node_classification/utils.py:33-119``; its byte-duplicate
+``utils_new.py`` is imported by nothing and carries the same logic —
+SURVEY §2.1 #6 — so this module covers both), including its deviations
+from the standard pipeline — these are load-bearing for accuracy parity:
 
 - the **non-standard large train splits** (train = first ``len(y)+1068``
   nodes for cora, ``+1707`` citeseer, ``+18157`` pubmed; ``utils.py:80-94``)

@@ -24,6 +24,12 @@ def mae(scores, targets) -> jnp.ndarray:
     return jnp.mean(jnp.abs(scores - targets))
 
 
+def accuracy_tu(logits, labels) -> jnp.ndarray:
+    """TU-benchmark argmax accuracy (metrics.py:20-27) — same computation
+    as :func:`accuracy`, kept under the reference's name for coverage."""
+    return accuracy(logits, labels)
+
+
 def accuracy_sbm(logits, labels) -> float:
     """Class-balanced accuracy over present classes (metrics.py:38-55)."""
     preds = np.asarray(jnp.argmax(logits, axis=-1))
