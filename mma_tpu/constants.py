@@ -6,7 +6,7 @@ BLOCK_R / BLOCK_B are the fused-kernel row-block and edge-chunk sizes
 EDGE_PAD_MULTIPLE is a multiple of BLOCK_B so edge arrays tile exactly.
 """
 
-BLOCK_R = 256  # output rows per kernel block
+BLOCK_R = 128  # output rows per kernel block
 BLOCK_B = 1024  # edges per kernel chunk (8 × 128-lane sub-chunks)
 BLOCK_SUB = 128  # contraction width per MXU pass
 NODE_PAD_MULTIPLE = 8

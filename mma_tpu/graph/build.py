@@ -27,15 +27,18 @@ def _round_up(x: int, m: int) -> int:
 
 
 def chunk_hint_from_row_ptr(row_ptr: np.ndarray, num_rows: int,
-                            block_r: int = BLOCK_R, block_b: int = BLOCK_B) -> int:
-    """Max aligned edge chunks any ``block_r``-row window touches (static
-    grid bound for the fused Pallas kernel)."""
+                            block_r: int = BLOCK_R, block_b: int = BLOCK_B):
+    """Static grid bounds for the fused Pallas kernel: ``(max_chunks,
+    total_steps)`` where ``total_steps = Σ_blocks max(chunks_block, 1)``
+    (the flattened-grid step count — skew-proof) and ``max_chunks`` is the
+    per-block bound (legacy 2-D grid)."""
     n_blocks = _round_up(max(num_rows, 1), block_r) // block_r
     idx = np.minimum(np.arange(n_blocks + 1) * block_r, num_rows)
     bounds = np.asarray(row_ptr)[idx]
     starts, ends = bounds[:-1], bounds[1:]
     counts = -(-ends // block_b) - starts // block_b  # ceil(end/B) - floor(start/B)
-    return max(int(counts.max(initial=1)), 1)
+    counts = np.maximum(counts, 1)
+    return int(counts.max(initial=1)), int(counts.sum())
 
 
 def graph_from_edges(

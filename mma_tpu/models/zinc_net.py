@@ -36,6 +36,9 @@ class ZincNet:
     post_layers: int = 1
     mlp_sizes: Tuple[int, ...] = (75, 50, 25, 1)
     parity: bool = True
+    # Rematerialize each conv layer in the backward pass (trade FLOPs for
+    # activation memory — lets edge budgets grow several× per chip).
+    remat: bool = False
 
     @property
     def node_emb(self):
@@ -108,15 +111,21 @@ class ZincNet:
         dropout_on = (training or parity_eval_dropout) and rng is not None
         rngs = jax.random.split(rng, self.num_layers) if dropout_on else None
 
+        def conv_fn(p, x, e, rng):
+            return self.conv.apply(
+                p, x, g, edge_attr=e, rng=rng, use_pallas=use_pallas
+            )
+
+        if self.remat:
+            conv_fn = jax.checkpoint(conv_fn, static_argnums=())
+
         new_state = {}
         for i in range(self.num_layers):
-            h = self.conv.apply(
+            h = conv_fn(
                 params[f"conv{i}"],
                 x,
-                g,
-                edge_attr=e,
-                rng=rngs[i] if rngs is not None else None,
-                use_pallas=use_pallas,
+                e,
+                rngs[i] if rngs is not None else None,
             )
             h, new_state[f"bn{i}"] = self.bn.apply(
                 params[f"bn{i}"], state[f"bn{i}"], h, mask=g.node_mask, training=training

@@ -50,6 +50,9 @@ class MMALayer:
     mask_dropout: float = 0.5
     parity: bool = True
     bias: bool = True
+    # Edge-pipeline compute dtype ("float32" | "bfloat16"); bf16 halves
+    # gather/stream HBM traffic. Parity mode keeps float32.
+    compute_dtype: str = "float32"
 
     @property
     def specs(self):
@@ -105,6 +108,7 @@ class MMALayer:
             rng=rng,
             use_pallas=use_pallas,
             axis_name=axis_name,
+            compute_dtype=jnp.dtype(self.compute_dtype),
         )  # (N, K, F)
         msum = jnp.sum(m, axis=1)  # Σ_k aggregate_k — see module docstring
         scaled = apply_scalers(

@@ -98,6 +98,7 @@ def masked_multi_aggregate(
     rng: Optional[jax.Array] = None,
     use_pallas: bool = False,
     axis_name: Optional[str] = None,
+    compute_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """K-way masked aggregation: returns ``(N, K, F)`` combined outputs.
 
@@ -114,7 +115,12 @@ def masked_multi_aggregate(
     k = len(specs)
     assert mask_weights.shape == (k, 2 * f, f), (mask_weights.shape, (k, 2 * f, f))
 
-    logits = mma_mask_logits(h, mask_weights, graph)  # (E, K·F) flat
+    # Edge-pipeline compute dtype: bfloat16 halves the gather/stream HBM
+    # traffic (the layer's bottleneck) and makes the kernel's single MXU
+    # pass exact; segment accumulation stays float32 either way. Parity
+    # gates use float32.
+    h_c = h.astype(compute_dtype)
+    logits = mma_mask_logits(h_c, mask_weights.astype(compute_dtype), graph)
     dropout_on = rng is not None and mask_dropout_rate > 0.0
     need_moments = any(sp.combine in ("std", "moment_3") for sp in specs)
 
@@ -124,7 +130,7 @@ def masked_multi_aggregate(
         from mma_tpu.ops.pallas.fused_mma import fused_masked_aggregate
 
         pat = _sigmoid_lane_pattern(specs, activation, parity, f)
-        s = fused_masked_aggregate(logits, h[graph.src], pat, graph, k)
+        s = fused_masked_aggregate(logits, h_c[graph.src], pat, graph, k)
         msgs = None
     else:
         mask = _apply_mask_activation(logits, specs, activation, parity)
@@ -132,7 +138,7 @@ def masked_multi_aggregate(
             keep = jax.random.bernoulli(rng, 1.0 - mask_dropout_rate, mask.shape)
             mask = jnp.where(keep, mask / (1.0 - mask_dropout_rate), 0.0)
 
-        h_src = jnp.tile(h[graph.src], (1, k))  # (E, K·F) per-aggregator
+        h_src = jnp.tile(h_c[graph.src], (1, k))  # (E, K·F) per-aggregator
         msgs = mask * h_src
         msgs = jnp.where(graph.edge_mask[:, None], msgs, 0.0)
 
@@ -141,7 +147,10 @@ def masked_multi_aggregate(
 
             s = fused_segment_sum(msgs, graph)  # (N, K·F)
         else:
-            s = segment_sum(msgs, graph.dst, n, sorted=True)  # (N, K·F)
+            # Accumulate in f32 regardless of the edge compute dtype.
+            s = segment_sum(
+                msgs.astype(jnp.float32), graph.dst, n, sorted=True
+            )
     if axis_name is not None:
         s = jax.lax.psum(s, axis_name)
     s = s.reshape(n, k, f)
@@ -151,7 +160,7 @@ def masked_multi_aggregate(
     need_moments = any(sp.combine in ("std", "moment_3") for sp in specs)
     if need_moments:
         msgs_sq = jnp.where(graph.edge_mask[:, None], msgs * msgs, 0.0)
-        s2 = segment_sum(msgs_sq, graph.dst, n, sorted=True)
+        s2 = segment_sum(msgs_sq.astype(jnp.float32), graph.dst, n, sorted=True)
         if axis_name is not None:
             s2 = jax.lax.psum(s2, axis_name)
         s2 = s2.reshape(n, k, f)

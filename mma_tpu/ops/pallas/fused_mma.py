@@ -1,33 +1,33 @@
-"""Pallas TPU kernel: sorted segment-sum over CSR row blocks.
+"""Pallas TPU kernels: sorted segment-sum (and fused masked variants)
+over CSR row blocks.
 
 Replaces the XLA scatter-add lowering of ``segment_sum`` on the hot MMA
 paths (the reference's equivalents are ``torch_scatter.scatter`` and
 cuSPARSE ``spmm`` — SURVEY §2.2). TPU has no fast scatter; instead:
 
-- the grid is ``(row_block, chunk)``: R output rows × block-aligned edge
-  chunks of B edges. Because edges are sorted by destination, each row
-  block's edges occupy one contiguous range ``[row_ptr[r0], row_ptr[r0+R])``
-  of the edge array, covered by the aligned chunks
-  ``[start//B, ceil(end/B))``. Row blocks partition the output, so the
-  row dimension is parallel (megacore-safe); the chunk dimension
-  accumulates into the same output block, which Pallas keeps resident in
-  VMEM across the inner grid dimension;
-- chunk addressing is data-dependent but *block-aligned*, so the scalar-
-  prefetched per-block edge bounds drive ordinary BlockSpec index maps —
-  the automatic pipeline does all DMA (no manual copies);
+- the grid is a **flattened sequence of (row_block, chunk) steps**: R
+  output rows per row block, B-edge block-aligned chunks. Because edges
+  are sorted by destination, each row block's edges occupy one contiguous
+  range ``[row_ptr[r0], row_ptr[r0+R])``, covered by the aligned chunks
+  ``[start//B, ceil(end/B))``. Scalar-prefetched step→(block, chunk)
+  maps give every step real work, so the grid size is
+  ``Σ_blocks max(chunks_block, 1) ≤ E/B + n_blocks`` — *independent of
+  degree skew* (a 2-D ``(block, max_chunks)`` grid wastes
+  ``max-mean`` chunk slots per block, which is catastrophic under
+  power-law degrees);
+- chunk addressing is data-dependent but block-aligned, so ordinary
+  BlockSpec index maps drive the automatic pipeline (no manual DMA);
+  consecutive steps of one row block revisit the same output block, which
+  Pallas keeps resident in VMEM;
 - the in-block "scatter" is a one-hot contraction on the MXU:
-  ``out[r] += Σ_e 1[dst_e == r0+r]·data_e`` as an ``(R, B) × (B, C)``
-  matmul — no serialized read-modify-write per edge, no atomics, fully
+  ``out[r] += Σ_e 1[dst_e == r0+r]·data_e`` as ``(R, 128) × (128, C)``
+  sub-matmuls — no serialized read-modify-write, no atomics, fully
   deterministic.
 
-The grid's chunk extent is the static per-graph bound
-``Graph.chunk_hint`` (host-computed at build); blocks with fewer chunks
-skip compute (and their index map clamps to an already-resident block, so
-no extra DMA is issued).
-
-Cost: ``R·B·C`` MACs per ``B`` edges — an amplification of R over the
-useful adds, traded against scatter-free, layout-friendly execution; at
-C≥64 this is far ahead of the XLA scatter path (see bench.py).
+Precision: the MXU rounds f32 operands to bf16 per pass; the one-hot is
+0/1 (bf16-exact) and the data operand is split into 1-3 bf16 terms
+(``precision=fastest/high/highest`` ≈ 1e-2/1e-4/1e-6 relative error).
+bf16 input data needs a single pass and is exact.
 """
 
 from __future__ import annotations
@@ -39,133 +39,103 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mma_tpu.constants import BLOCK_B, BLOCK_R
+from mma_tpu.constants import BLOCK_B, BLOCK_R, BLOCK_SUB
 from mma_tpu.graph.container import Graph
 
+_PASSES = {"fastest": 1, "high": 2, "highest": 3}
 
-def _kernel(starts_ref, ends_ref, ids_ref, data_ref, out_ref, *, block_b: int,
-            block_sub: int, passes: int):
-    r, c = pl.program_id(0), pl.program_id(1)
+
+def _step_maps(starts, ends, num_blocks, total_steps, block_b):
+    """Scalar-prefetch arrays mapping flat step → (row block, chunk)."""
+    counts = jnp.maximum(
+        (ends + block_b - 1) // block_b - starts // block_b, 1
+    ).astype(jnp.int32)
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+    )
+    steps = jnp.arange(total_steps, dtype=jnp.int32)
+    block_of = jnp.clip(
+        jnp.searchsorted(offsets, steps, side="right").astype(jnp.int32) - 1,
+        0,
+        num_blocks - 1,
+    )
+    chunk_of = steps - offsets[block_of]
+    return block_of, chunk_of
+
+
+def _chunk_index_fn(num_data_chunks, block_b):
+    def chunk_index(i, bstep, cstep, starts, ends):
+        r = bstep[i]
+        g = starts[r] // block_b + cstep[i]
+        return jnp.clip(g, 0, num_data_chunks - 1)
+
+    return chunk_index
+
+
+def _contract(acc, onehot, d, passes):
+    """acc += onehotᵀ-style contraction with bf16-split data operand."""
+    oh = onehot.astype(jnp.float32)
+    d = d.astype(jnp.float32)
+    for _ in range(passes):
+        hi = d.astype(jnp.bfloat16).astype(jnp.float32)
+        acc += jax.lax.dot_general(
+            oh, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        d = d - hi
+    return acc
+
+
+def _sum_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref, ids_ref, data_ref,
+                out_ref, *, block_b, block_sub, passes):
+    i = pl.program_id(0)
+    r = bstep_ref[i]
+    c = cstep_ref[i]
     start, end = starts_ref[r], ends_ref[r]
-    first_chunk = start // block_b
-    num_chunks = pl.cdiv(end, block_b) - first_chunk
+    num_chunks = pl.cdiv(end, block_b) - start // block_b
 
     @pl.when(c == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(c < num_chunks)
+    @pl.when((start < end) & (c < num_chunks))
     def _():
         block_r = out_ref.shape[0]
-        g = first_chunk + c  # global chunk actually resident in ids/data
+        g = start // block_b + c  # chunk resident in ids/data
         row0 = r * block_r
         rr = jax.lax.broadcasted_iota(jnp.int32, (block_r, block_sub), 0)
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (1, block_sub), 1)
         acc = jnp.zeros_like(out_ref)
-        # block_b = n_sub × block_sub: one full-width MXU contraction per
-        # 128-lane sub-chunk (ids come tiled (1, n_sub, 128)).
         for j in range(block_b // block_sub):
             gidx = g * block_b + j * block_sub + sub_iota  # (1, S)
             valid = (gidx >= start) & (gidx < end)
             ids = ids_ref[0, j : j + 1, :]  # (1, S)
             onehot = ((ids - row0) == rr) & valid  # (R, S)
-            oh = onehot.astype(jnp.float32)
-            d = data_ref[pl.ds(j * block_sub, block_sub), :]
-            # The MXU rounds f32 operands to bf16 per pass. The one-hot is
-            # 0/1 (bf16-exact); splitting the data into bf16 terms
-            # recovers ~8 mantissa bits per extra pass (passes=3 ≈ f32).
-            for _ in range(passes):
-                hi = d.astype(jnp.bfloat16).astype(jnp.float32)
-                acc += jax.lax.dot_general(
-                    oh, hi,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                d = d - hi
+            acc = _contract(
+                acc, onehot, data_ref[pl.ds(j * block_sub, block_sub), :], passes
+            )
         out_ref[:] += acc
 
 
-_PASSES = {"fastest": 1, "high": 2, "highest": 3}
-
-
-@functools.partial(
-    jax.jit, static_argnames=("block_r", "block_b", "max_chunks", "interpret", "passes")
-)
-def _fused_segment_sum(data, dst, row_ptr, *, block_r, block_b, max_chunks,
-                       interpret, passes):
-    e_pad, ch = data.shape
-    assert e_pad % block_b == 0, (e_pad, block_b)
-    n = row_ptr.shape[0] - 1
-    num_blocks = pl.cdiv(n, block_r)
-    num_data_chunks = e_pad // block_b
-
-    # Per-row-block edge ranges from the CSR offsets.
-    block_rows = jnp.minimum(jnp.arange(num_blocks + 1, dtype=jnp.int32) * block_r, n)
-    bounds = row_ptr[block_rows]
-    starts, ends = bounds[:-1], bounds[1:]
-
-    def chunk_index(r, c, starts_ref, ends_ref):
-        first = starts_ref[r] // block_b
-        last = jnp.maximum(pl.cdiv(ends_ref[r], block_b) - 1, first)
-        return jnp.minimum(jnp.minimum(first + c, last), num_data_chunks - 1)
-
-    from mma_tpu.constants import BLOCK_SUB
-
-    n_sub = block_b // BLOCK_SUB
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_blocks, max_chunks),
-        in_specs=[
-            pl.BlockSpec(  # ids: (chunks, n_sub, 128) int32, 1 chunk/step
-                (1, n_sub, BLOCK_SUB),
-                lambda r, c, s, e: (chunk_index(r, c, s, e), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(  # data: (E, C) f32, one (B, C) chunk per step
-                (block_b, ch),
-                lambda r, c, s, e: (chunk_index(r, c, s, e), 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (block_r, ch), lambda r, c, s, e: (r, 0), memory_space=pltpu.VMEM
-        ),
-    )
-    return pl.pallas_call(
-        functools.partial(
-            _kernel, block_b=block_b, block_sub=BLOCK_SUB, passes=passes
-        ),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((int(num_blocks) * block_r, ch), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(starts, ends, dst.reshape(num_data_chunks, n_sub, BLOCK_SUB), data)[:n]
-
-
-def _masked_kernel(starts_ref, ends_ref, ids_ref, logits_ref, h_ref, pat_ref,
-                   out_ref, *, block_b: int, block_sub: int, passes: int,
-                   n_agg: int):
-    """Fused mask-activation + multiply + segment-sum.
-
-    Per chunk: ``msg = where(pat, σ(logits), logits) * tile(h, K)`` then
-    the one-hot MXU contraction of :func:`_kernel`. Avoids materializing
-    the (E, K·F) mask/message intermediates in HBM.
-    """
-    r, c = pl.program_id(0), pl.program_id(1)
+def _masked_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref, ids_ref,
+                   logits_ref, h_ref, pat_ref, out_ref, *, block_b, block_sub,
+                   passes, n_agg):
+    """Fused mask-activation + multiply + segment-sum: per chunk
+    ``msg = where(pat, σ(logits), logits) * tile(h, K)`` then the one-hot
+    contraction — no (E, K·F) mask/message intermediates in HBM."""
+    i = pl.program_id(0)
+    r = bstep_ref[i]
+    c = cstep_ref[i]
     start, end = starts_ref[r], ends_ref[r]
-    first_chunk = start // block_b
-    num_chunks = pl.cdiv(end, block_b) - first_chunk
+    num_chunks = pl.cdiv(end, block_b) - start // block_b
 
     @pl.when(c == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(c < num_chunks)
+    @pl.when((start < end) & (c < num_chunks))
     def _():
         block_r = out_ref.shape[0]
-        g = first_chunk + c
+        g = start // block_b + c
         row0 = r * block_r
         rr = jax.lax.broadcasted_iota(jnp.int32, (block_r, block_sub), 0)
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (1, block_sub), 1)
@@ -184,69 +154,105 @@ def _masked_kernel(starts_ref, ends_ref, ids_ref, logits_ref, h_ref, pat_ref,
             valid = (gidx >= start) & (gidx < end)
             ids = ids_ref[0, j : j + 1, :]
             onehot = ((ids - row0) == rr) & valid
-            oh = onehot.astype(jnp.float32)
-            d = msg[j * block_sub : (j + 1) * block_sub, :]
-            for _ in range(passes):
-                hi = d.astype(jnp.bfloat16).astype(jnp.float32)
-                acc += jax.lax.dot_general(
-                    oh, hi, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                d = d - hi
+            acc = _contract(
+                acc, onehot, msg[j * block_sub : (j + 1) * block_sub, :], passes
+            )
         out_ref[:] += acc
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("block_r", "block_b", "max_chunks", "interpret", "passes",
-                     "n_agg"),
-)
-def _fused_masked_segment_sum(logits, h_src, pattern, dst, row_ptr, *, block_r,
-                              block_b, max_chunks, interpret, passes, n_agg):
-    e_pad, ckf = logits.shape
-    assert e_pad % block_b == 0
+def _grid_and_prefetch(row_ptr, e_pad, block_r, block_b):
     n = row_ptr.shape[0] - 1
     num_blocks = pl.cdiv(n, block_r)
     num_data_chunks = e_pad // block_b
+    # Universal tight step bound: Σ max(chunks_b, 1) ≤ E/B + num_blocks.
+    total_steps = num_data_chunks + int(num_blocks)
 
     block_rows = jnp.minimum(jnp.arange(num_blocks + 1, dtype=jnp.int32) * block_r, n)
     bounds = row_ptr[block_rows]
     starts, ends = bounds[:-1], bounds[1:]
+    block_of, chunk_of = _step_maps(starts, ends, num_blocks, total_steps, block_b)
+    return n, num_blocks, num_data_chunks, total_steps, starts, ends, block_of, chunk_of
 
-    def chunk_index(r, c, starts_ref, ends_ref):
-        first = starts_ref[r] // block_b
-        last = jnp.maximum(pl.cdiv(ends_ref[r], block_b) - 1, first)
-        return jnp.minimum(jnp.minimum(first + c, last), num_data_chunks - 1)
 
-    from mma_tpu.constants import BLOCK_SUB
+@functools.partial(
+    jax.jit, static_argnames=("block_r", "block_b", "interpret", "passes")
+)
+def _fused_segment_sum(data, dst, row_ptr, *, block_r, block_b, interpret, passes):
+    e_pad, ch = data.shape
+    assert e_pad % block_b == 0, (e_pad, block_b)
+    (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
+     ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
+    chunk_index = _chunk_index_fn(num_chunks, block_b)
+    n_sub = block_b // BLOCK_SUB
 
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(total_steps,),
+        in_specs=[
+            pl.BlockSpec(  # ids tiled (chunks, n_sub, 128)
+                (1, n_sub, BLOCK_SUB),
+                lambda i, b, c, s, e: (chunk_index(i, b, c, s, e), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(  # data (E, C) → (B, C) chunks
+                (block_b, ch),
+                lambda i, b, c, s, e: (chunk_index(i, b, c, s, e), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_r, ch), lambda i, b, c, s, e: (b[i], 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _sum_kernel, block_b=block_b, block_sub=BLOCK_SUB, passes=passes
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((int(num_blocks) * block_r, ch), jnp.float32),
+        interpret=interpret,
+    )(block_of, chunk_of, starts, ends,
+      dst.reshape(num_chunks, n_sub, BLOCK_SUB), data)[:n]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_r", "block_b", "interpret", "passes", "n_agg")
+)
+def _fused_masked_segment_sum(logits, h_src, pattern, dst, row_ptr, *, block_r,
+                              block_b, interpret, passes, n_agg):
+    e_pad, ckf = logits.shape
+    assert e_pad % block_b == 0
+    (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
+     ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
+    chunk_index = _chunk_index_fn(num_chunks, block_b)
     n_sub = block_b // BLOCK_SUB
     f = ckf // n_agg
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_blocks, max_chunks),
+        num_scalar_prefetch=4,
+        grid=(total_steps,),
         in_specs=[
             pl.BlockSpec(
                 (1, n_sub, BLOCK_SUB),
-                lambda r, c, s, e: (chunk_index(r, c, s, e), 0, 0),
+                lambda i, b, c, s, e: (chunk_index(i, b, c, s, e), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (block_b, ckf),
-                lambda r, c, s, e: (chunk_index(r, c, s, e), 0),
+                lambda i, b, c, s, e: (chunk_index(i, b, c, s, e), 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (block_b, f),
-                lambda r, c, s, e: (chunk_index(r, c, s, e), 0),
+                lambda i, b, c, s, e: (chunk_index(i, b, c, s, e), 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, ckf), lambda r, c, s, e: (0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((1, ckf), lambda i, b, c, s, e: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (block_r, ckf), lambda r, c, s, e: (r, 0), memory_space=pltpu.VMEM
+            (block_r, ckf), lambda i, b, c, s, e: (b[i], 0),
+            memory_space=pltpu.VMEM,
         ),
     )
     return pl.pallas_call(
@@ -256,12 +262,66 @@ def _fused_masked_segment_sum(logits, h_src, pattern, dst, row_ptr, *, block_r,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((int(num_blocks) * block_r, ckf), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
         interpret=interpret,
-    )(starts, ends, dst.reshape(num_data_chunks, n_sub, BLOCK_SUB),
-      logits, h_src, pattern)[:n]
+    )(block_of, chunk_of, starts, ends,
+      dst.reshape(num_chunks, n_sub, BLOCK_SUB), logits, h_src, pattern)[:n]
+
+
+def _pad_edges(arrs, dst, n_edge, n_node, block_b):
+    pad = (-n_edge) % block_b
+    if pad:
+        arrs = [jnp.pad(a, ((0, pad), (0, 0))) for a in arrs]
+        dst = jnp.pad(dst, (0, pad), constant_values=n_node - 1)
+    return arrs, dst
+
+
+def fused_segment_sum(
+    data: jnp.ndarray,
+    graph: Graph,
+    *,
+    block_r: int = BLOCK_R,
+    block_b: int = BLOCK_B,
+    precision: str = "high",
+) -> jnp.ndarray:
+    """Segment-sum ``data`` (E, C) over ``graph.dst`` → (N, C) float32.
+
+    Requires the graph's dst-sorted edge order. Rows belonging to padding
+    nodes receive sums of padding-edge data rows — callers mask padded
+    data to zero (``masked_multi_aggregate`` / ``binary_spmm`` do).
+
+    ``precision``: ``"fastest"`` (single MXU pass, data rounded to bf16,
+    ~1e-3 relative error), ``"high"`` (2-term bf16 split, ~1e-6 —
+    default), ``"highest"`` (3-term split, ≈ exact f32). bf16 input data
+    is exact in a single pass.
+    """
+    assert data.ndim == 2 and data.shape[0] == graph.n_edge, data.shape
+    if data.dtype == jnp.bfloat16:
+        precision = "fastest"  # single pass is exact for bf16 data
+    passes = _PASSES[precision]
+
+    def _run(d):
+        (d,), dst = _pad_edges([d], graph.dst, graph.n_edge, graph.n_node, block_b)
+        return _fused_segment_sum(
+            d, dst, graph.row_ptr, block_r=block_r, block_b=block_b,
+            interpret=jax.devices()[0].platform != "tpu", passes=passes,
+        )
+
+    # pallas_call has no AD rule; the transpose of a segment-sum is a
+    # gather by destination.
+    @jax.custom_vjp
+    def _op(d):
+        return _run(d)
+
+    def _op_fwd(d):
+        return _run(d), None
+
+    def _op_bwd(_, ct):
+        ct_e = ct[graph.dst].astype(data.dtype)
+        ct_e = jnp.where(graph.edge_mask[:, None], ct_e, 0)
+        return (ct_e,)
+
+    _op.defvjp(_op_fwd, _op_bwd)
+    return _op(data)
 
 
 def fused_masked_aggregate(
@@ -279,30 +339,20 @@ def fused_masked_aggregate(
 
     ``logits``: (E, K·F) flat mask logits (pre-gathered per edge);
     ``h_src``: (E, F) gathered source features; ``sig_pattern``: (K·F,)
-    bool — which lanes apply sigmoid (N1 table). Differentiable (custom
-    VJP recomputes the activation elementwise in XLA).
+    bool — which lanes apply sigmoid (N1 table, see
+    ``mma_tpu.ops.aggregators``). Differentiable (custom VJP recomputes
+    the activation elementwise in XLA).
     """
     e, ckf = logits.shape
     assert e == graph.n_edge and h_src.shape == (e, ckf // n_agg)
-    passes = _PASSES[precision]
-    max_chunks = (
-        graph.chunk_hint if (block_r, block_b) == (BLOCK_R, BLOCK_B) else None
-    )
-    pat2d = sig_pattern.astype(jnp.float32).reshape(1, ckf)
+    passes = 1 if logits.dtype == jnp.bfloat16 else _PASSES[precision]
+    pat2d = sig_pattern.astype(logits.dtype).reshape(1, ckf)
 
     def _run(l, h):
-        dst = graph.dst
-        mc = max_chunks
-        if mc is None or e % block_b != 0:
-            pad = (-e) % block_b
-            if pad:
-                l = jnp.pad(l, ((0, pad), (0, 0)))
-                h = jnp.pad(h, ((0, pad), (0, 0)))
-                dst = jnp.pad(dst, (0, pad), constant_values=graph.n_node - 1)
-            mc = (e + pad) // block_b
+        (l, h), dst = _pad_edges([l, h], graph.dst, e, graph.n_node, block_b)
         return _fused_masked_segment_sum(
             l, h, pat2d, dst, graph.row_ptr,
-            block_r=block_r, block_b=block_b, max_chunks=mc,
+            block_r=block_r, block_b=block_b,
             interpret=jax.devices()[0].platform != "tpu",
             passes=passes, n_agg=n_agg,
         )
@@ -319,8 +369,8 @@ def fused_masked_aggregate(
         pat = sig_pattern[None, :]
         sig = jax.nn.sigmoid(l)
         mask = jnp.where(pat, sig, l)
-        ge = ct[graph.dst]  # (E, K·F)
-        ge = jnp.where(graph.edge_mask[:, None], ge, 0.0)
+        ge = ct[graph.dst].astype(l.dtype)  # (E, K·F)
+        ge = jnp.where(graph.edge_mask[:, None], ge, 0)
         h_t = jnp.tile(h, (1, n_agg))
         dl = ge * h_t * jnp.where(pat, sig * (1.0 - sig), 1.0)
         gm = ge * mask
@@ -332,64 +382,3 @@ def fused_masked_aggregate(
 
     _op.defvjp(_fwd, _bwd)
     return _op(logits, h_src)
-
-
-def fused_segment_sum(
-    data: jnp.ndarray,
-    graph: Graph,
-    *,
-    block_r: int = BLOCK_R,
-    block_b: int = BLOCK_B,
-    precision: str = "high",
-) -> jnp.ndarray:
-    """Segment-sum ``data`` (E, C) over ``graph.dst`` → (N, C).
-
-    Requires the graph's dst-sorted edge order. Rows belonging to padding
-    nodes receive sums of padding-edge data rows — callers mask padded
-    data to zero (``masked_multi_aggregate`` / ``binary_spmm`` do).
-
-    ``precision``: ``"fastest"`` (single MXU pass, data rounded to bf16,
-    ~1e-3 relative error), ``"high"`` (2-term bf16 split, ~1e-6 —
-    default), ``"highest"`` (3-term split, ≈ exact f32).
-    """
-    assert data.ndim == 2 and data.shape[0] == graph.n_edge, data.shape
-
-    # The kernel needs a custom VJP (pallas_call has no AD rule); the
-    # transpose of a segment-sum is a gather by destination.
-    @jax.custom_vjp
-    def _op(d):
-        return _run(d)
-
-    def _op_fwd(d):
-        return _run(d), None
-
-    def _op_bwd(_, ct):
-        ct_e = ct[graph.dst]
-        ct_e = jnp.where(graph.edge_mask[:, None], ct_e, 0.0)
-        return (ct_e,)
-
-    _op.defvjp(_op_fwd, _op_bwd)
-
-    passes = _PASSES[precision]
-    # chunk_hint is computed at graph build against the default block
-    # sizes; a custom blocking falls back to the conservative bound.
-    max_chunks = (
-        graph.chunk_hint if (block_r, block_b) == (BLOCK_R, BLOCK_B) else None
-    )
-    def _run(d):
-        dst = graph.dst
-        mc = max_chunks
-        if mc is None or graph.n_edge % block_b != 0:
-            # Conservative fallback: a full sweep of chunks per row block.
-            pad = (-graph.n_edge) % block_b
-            if pad:
-                d = jnp.pad(d, ((0, pad), (0, 0)))
-                dst = jnp.pad(dst, (0, pad), constant_values=graph.n_node - 1)
-            mc = (graph.n_edge + pad) // block_b
-        return _fused_segment_sum(
-            d, dst, graph.row_ptr,
-            block_r=block_r, block_b=block_b, max_chunks=mc,
-            interpret=jax.devices()[0].platform != "tpu", passes=passes,
-        )
-
-    return _op(data)

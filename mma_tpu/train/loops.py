@@ -8,6 +8,7 @@ logging, optional orbax checkpointing and deterministic seeding.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Optional
 
@@ -59,7 +60,7 @@ def train_node_classification(cfg: NodeClassificationConfig, data=None):
     def nll(logp, idx):
         return -jnp.mean(logp[idx, labels[idx]])
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, rng):
         def loss_fn(p):
             logp = model.apply(
@@ -165,7 +166,7 @@ def train_zinc(cfg: ZincConfig, datasets=None):
     n_node = cfg.batch_size * cfg.n_node_per_graph
     n_edge = cfg.batch_size * cfg.n_edge_per_graph
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, state, opt_state, batch, rng):
         def loss_fn(p):
             pred, new_state = model.apply(

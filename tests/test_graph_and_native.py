@@ -77,15 +77,20 @@ def test_native_matches_numpy():
 def test_chunk_hint_bounds_actual_chunks():
     _, _, g = random_symmetric_graph(300, p=0.1, seed=2)
     rp = np.asarray(g.row_ptr)
-    hint = chunk_hint_from_row_ptr(rp, g.n_node)
-    assert hint == g.chunk_hint
-    # every 256-row window's aligned 1024-chunk count ≤ hint
+    max_chunks, total_steps = chunk_hint_from_row_ptr(rp, g.n_node)
+    assert (max_chunks, total_steps) == g.chunk_hint
     from mma_tpu.constants import BLOCK_B, BLOCK_R
 
+    counts = []
     for r0 in range(0, g.n_node, BLOCK_R):
         r1 = min(r0 + BLOCK_R, g.n_node)
         s, e = rp[r0], rp[r1]
-        assert -(-e // BLOCK_B) - s // BLOCK_B <= hint
+        counts.append(max(-(-e // BLOCK_B) - s // BLOCK_B, 1))
+    assert max(counts) == max_chunks
+    assert sum(counts) == total_steps
+    # the kernel's universal step bound covers the exact total
+    n_blocks = -(-g.n_node // BLOCK_R)
+    assert total_steps <= g.n_edge // BLOCK_B + n_blocks
 
 
 @pytest.mark.parametrize(

@@ -198,3 +198,30 @@ def test_divide_input_towers():
     x2[:, F // 2:] = x2[::-1, F // 2:]
     out2 = conv.apply(params, jnp.asarray(x2), graph, edge_attr=jnp.asarray(edge_attr))
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_remat_matches_non_remat():
+    """jax.checkpoint'ed conv layers give identical outputs and gradients."""
+    ds = load_zinc("val", subset_size=8)
+    avg = compute_avg_deg(jnp.asarray(ds.degree_histogram()), parity=True)
+    kw = dict(
+        aggregators=("min", "max"),
+        scalers=("identity", "amplification", "linear"),
+        avg_deg=tuple(avg.items()),
+        towers=3, num_layers=2,
+    )
+    m1 = ZincNet(**kw)
+    m2 = ZincNet(**kw, remat=True)
+    params = m1.init(jax.random.PRNGKey(0))
+    state = m1.init_state()
+    batch = next(ds.batches(8, n_node=8 * 40, n_edge=8 * 100))
+
+    def loss(model, p):
+        pred, _ = model.apply(p, state, batch, training=False)
+        return jnp.sum((pred * batch.graph_mask) ** 2)
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(m2, p))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
