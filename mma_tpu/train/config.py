@@ -32,6 +32,7 @@ class NodeClassificationConfig:
     log_path: Optional[str] = None
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0  # epochs; 0 = off
+    resume: bool = False  # restore latest checkpoint from checkpoint_dir
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,6 +63,7 @@ class ZincConfig:
     log_path: Optional[str] = None
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0
+    resume: bool = False
 
 
 # README-reproduction presets (README.md:58,64,70,79 / BASELINE.md).

@@ -57,6 +57,19 @@ def train_node_classification(cfg: NodeClassificationConfig, data=None):
     opt = make_optimizer(cfg.lr, cfg.weight_decay)
     opt_state = opt.init(params)
 
+    start_epoch = 0
+    if cfg.resume and cfg.checkpoint_dir:
+        step, payload = ckpt.restore_checkpoint(
+            cfg.checkpoint_dir,
+            target={"params": params, "opt_state": opt_state, "key": key},
+        )
+        if step is not None:
+            params, opt_state, key = (
+                payload["params"], payload["opt_state"], payload["key"]
+            )
+            start_epoch = step
+            log.log(resumed_from_epoch=step)
+
     def nll(logp, idx):
         return -jnp.mean(logp[idx, labels[idx]])
 
@@ -85,7 +98,7 @@ def train_node_classification(cfg: NodeClassificationConfig, data=None):
         )
 
     history = []
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         t = time.time()
         key, step_key, eval_key = jax.random.split(key, 3)
         with trace("train_step"):
@@ -111,7 +124,9 @@ def train_node_classification(cfg: NodeClassificationConfig, data=None):
         log.log(**rec)
         if cfg.checkpoint_dir and cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
             ckpt.save_checkpoint(
-                cfg.checkpoint_dir, epoch + 1, {"params": params, "opt_state": opt_state}
+                cfg.checkpoint_dir,
+                epoch + 1,
+                {"params": params, "opt_state": opt_state, "key": key},
             )
 
     key, eval_key = jax.random.split(key)
@@ -163,6 +178,24 @@ def train_zinc(cfg: ZincConfig, datasets=None):
         lr=cfg.lr, factor=cfg.lr_factor, patience=cfg.lr_patience, min_lr=cfg.min_lr
     )
 
+    start_epoch = 0
+    if cfg.resume and cfg.checkpoint_dir:
+        sched_arr = jnp.asarray([sched.lr, sched.best, float(sched.num_bad)])
+        target = {
+            "params": params, "state": state, "opt_state": opt_state,
+            "key": key, "sched": sched_arr,
+        }
+        step, payload = ckpt.restore_checkpoint(cfg.checkpoint_dir, target=target)
+        if step is not None:
+            params, state, opt_state, key = (
+                payload["params"], payload["state"], payload["opt_state"], payload["key"]
+            )
+            s = np.asarray(payload["sched"])
+            sched.lr, sched.best, sched.num_bad = float(s[0]), float(s[1]), int(s[2])
+            opt_state = set_learning_rate(opt_state, sched.lr)
+            start_epoch = step
+            log.log(resumed_from_epoch=step)
+
     n_node = cfg.batch_size * cfg.n_node_per_graph
     n_edge = cfg.batch_size * cfg.n_edge_per_graph
 
@@ -197,7 +230,7 @@ def train_zinc(cfg: ZincConfig, datasets=None):
         return tot / max(cnt, 1.0)
 
     history = []
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         t = time.time()
         total_loss, total_graphs = 0.0, 0.0
         for batch in train_ds.batches(
@@ -229,7 +262,11 @@ def train_zinc(cfg: ZincConfig, datasets=None):
             ckpt.save_checkpoint(
                 cfg.checkpoint_dir,
                 epoch + 1,
-                {"params": params, "state": state, "opt_state": opt_state},
+                {
+                    "params": params, "state": state, "opt_state": opt_state,
+                    "key": key,
+                    "sched": jnp.asarray([sched.lr, sched.best, float(sched.num_bad)]),
+                },
             )
 
     log.close()

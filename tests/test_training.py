@@ -103,3 +103,23 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(restored["params"]["w"]), np.asarray(payload["params"]["w"])
     )
+
+
+def test_node_cls_resume_from_checkpoint(tmp_path):
+    """Crash/restart: resumed training continues from the saved epoch and
+    finishes with finite metrics (SURVEY §5.3/5.4 failure recovery)."""
+    base = dict(
+        dataset="cora", aggregators=("mean",), hidden=8, lr=0.01,
+        weight_decay=0.0, dropout=0.0, epochs=4,
+        checkpoint_dir=str(tmp_path), checkpoint_every=2,
+    )
+    r1 = train_node_classification(NodeClassificationConfig(**base))
+    # simulate restart: same config with resume → starts at epoch 4 (done)
+    r2 = train_node_classification(NodeClassificationConfig(**base, resume=True))
+    assert len(r2["history"]) == 0  # nothing left to train
+    # extend epochs: resumes from 4 and trains 2 more
+    r3 = train_node_classification(
+        NodeClassificationConfig(**{**base, "epochs": 6}, resume=True)
+    )
+    assert [h["epoch"] for h in r3["history"]] == [5, 6]
+    assert np.isfinite(r3["acc_test"])
