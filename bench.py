@@ -73,12 +73,22 @@ def bench_node_mma(graph, n_feat, aggregators, seed=0):
 
     rs = np.random.RandomState(seed)
     h = jnp.asarray(rs.randn(graph.n_node, n_feat).astype(np.float32))
-    layer = MMALayer(in_features=n_feat, out_features=n_feat, aggregators=aggregators)
-    params = layer.init(jax.random.PRNGKey(0))
+    params = MMALayer(
+        in_features=n_feat, out_features=n_feat, aggregators=aggregators
+    ).init(jax.random.PRNGKey(0))
     n_edges = int(np.asarray(graph.num_edges))
 
     res = {}
-    for name, use_pallas in (("xla", False), ("pallas", True)):
+    paths = (
+        ("xla", False, "float32"),
+        ("pallas", True, "float32"),
+        ("pallas-bf16", True, "bfloat16"),
+    )
+    for name, use_pallas, dtype in paths:
+        layer = MMALayer(
+            in_features=n_feat, out_features=n_feat, aggregators=aggregators,
+            compute_dtype=dtype,
+        )
         f = jax.jit(lambda p, x: layer.apply(p, x, graph, use_pallas=use_pallas))
         try:
             dt = _time_fn(f, params, h)

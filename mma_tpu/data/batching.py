@@ -61,10 +61,12 @@ def batch_graphs(
     graph_mask = np.zeros(n_graph, bool)
     graph_mask[:g] = True
 
+    from mma_tpu.graph import native
+
     deg = np.bincount(dst[:tot_edges], minlength=n_node).astype(np.float32)
-    counts = np.bincount(dst, minlength=n_node)
-    row_ptr = np.zeros(n_node + 1, np.int32)
-    np.cumsum(counts, out=row_ptr[1:])
+    row_ptr = native.build_row_ptr(dst, n_node)
+    _, src_sorted, src_perm = native.sort_edges(dst, src, n_node)
+    col_ptr = native.build_row_ptr(src_sorted, n_node)
 
     graph = Graph(
         src=jnp.asarray(src),
@@ -73,6 +75,8 @@ def batch_graphs(
         node_mask=jnp.asarray(node_mask),
         deg=jnp.asarray(deg),
         row_ptr=jnp.asarray(row_ptr),
+        src_perm=jnp.asarray(src_perm),
+        col_ptr=jnp.asarray(col_ptr),
         chunk_hint=chunk_hint_from_row_ptr(row_ptr, n_node),
     )
 

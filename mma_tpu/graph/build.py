@@ -89,6 +89,10 @@ def graph_from_edges(
     # CSR offsets over the *padded* edge list (padding edges land on the
     # padding node's row, which is fine — its row is masked out).
     row_ptr = native.build_row_ptr(dst_p, n_node)
+    # Transpose (CSC) ordering over the padded list for backward-pass
+    # src-keyed segment reductions.
+    _, src_sorted, src_perm = native.sort_edges(dst_p, src_p, n_node)
+    col_ptr = native.build_row_ptr(src_sorted, n_node)
 
     return Graph(
         src=jnp.asarray(src_p),
@@ -97,6 +101,8 @@ def graph_from_edges(
         node_mask=jnp.asarray(node_mask),
         deg=jnp.asarray(deg),
         row_ptr=jnp.asarray(row_ptr),
+        src_perm=jnp.asarray(src_perm),
+        col_ptr=jnp.asarray(col_ptr),
         chunk_hint=chunk_hint_from_row_ptr(row_ptr, n_node),
     )
 

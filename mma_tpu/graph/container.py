@@ -62,10 +62,17 @@ class Graph:
     node_mask: jnp.ndarray  # (N,) bool — True for real nodes
     deg: jnp.ndarray  # (N,) float32 — in-degree over real edges
     row_ptr: jnp.ndarray  # (N+1,) int32 — CSR offsets into the edge list
-    # Static (non-leaf) metadata: host-computed bound on edge chunks per
-    # kernel row block for the fused Pallas kernel (see ops/pallas). None
-    # ⇒ the kernel falls back to a conservative bound.
-    chunk_hint: "int | None" = None
+    # Transpose (CSC) view for src-keyed segment reductions — the
+    # backward pass of gathers-by-src. ``src_perm`` sorts edges by
+    # (src-major, dst-minor); ``col_ptr`` are the offsets of each node's
+    # out-edges in that order. Optional: None disables the Pallas
+    # backward fast path.
+    src_perm: "jnp.ndarray | None" = None  # (E,) int32
+    col_ptr: "jnp.ndarray | None" = None  # (N+1,) int32
+    # Static (non-leaf) metadata: host-computed kernel grid bounds
+    # (max chunks per row block, total flattened steps) — diagnostics
+    # only; the kernel derives its own bound.
+    chunk_hint: "tuple | None" = None
 
     @property
     def n_node(self) -> int:

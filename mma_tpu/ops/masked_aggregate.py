@@ -42,12 +42,13 @@ from mma_tpu.ops.segment import segment_sum
 _EPS = 1e-5
 
 
-def mma_mask_logits(h: jnp.ndarray, mask_weights: jnp.ndarray, graph: Graph) -> jnp.ndarray:
-    """Per-edge mask logits for K aggregators: ``(E, K·F)`` (flat layout).
+def mma_mask_projections(h: jnp.ndarray, mask_weights: jnp.ndarray):
+    """Per-node mask projections ``c, d``: each ``(N, K·F)`` flat.
 
     ``mask_weights``: ``(K, 2F, F)`` — one ``[W_top; W_bot]`` per
     aggregator (reference's per-aggregator mask matrices,
-    ``node_classification/models.py:23-43``).
+    ``node_classification/models.py:23-43``). Per-edge logits are
+    ``c[dst] + d[src]``.
 
     All edge-dimension tensors stay in flat ``(E, K·F)`` layout: with
     small K the ``(E, K, F)`` form has (K, F) minor dims that tile far
@@ -60,6 +61,12 @@ def mma_mask_logits(h: jnp.ndarray, mask_weights: jnp.ndarray, graph: Graph) -> 
     # One batched MXU matmul each: (N, F) x (F, K*F).
     c = h @ w_top.transpose(1, 0, 2).reshape(f, k * f)
     d = h @ w_bot.transpose(1, 0, 2).reshape(f, k * f)
+    return c, d
+
+
+def mma_mask_logits(h: jnp.ndarray, mask_weights: jnp.ndarray, graph: Graph) -> jnp.ndarray:
+    """Per-edge mask logits for K aggregators: ``(E, K·F)`` flat."""
+    c, d = mma_mask_projections(h, mask_weights)
     return c[graph.dst] + d[graph.src]
 
 
@@ -120,19 +127,29 @@ def masked_multi_aggregate(
     # pass exact; segment accumulation stays float32 either way. Parity
     # gates use float32.
     h_c = h.astype(compute_dtype)
-    logits = mma_mask_logits(h_c, mask_weights.astype(compute_dtype), graph)
     dropout_on = rng is not None and mask_dropout_rate > 0.0
     need_moments = any(sp.combine in ("std", "moment_3") for sp in specs)
 
-    if use_pallas and axis_name is None and not dropout_on and not need_moments:
-        # Fully fused path: activation + tile + multiply + segment-sum in
-        # one Pallas pass — no (E, K·F) mask/message intermediates in HBM.
-        from mma_tpu.ops.pallas.fused_mma import fused_masked_aggregate
+    fused_ok = (
+        use_pallas
+        and axis_name is None
+        and not dropout_on
+        and not need_moments
+        and graph.src_perm is not None
+    )
+    if fused_ok:
+        # Fully fused path: gathers + activation + multiply + segment-sum
+        # through the Pallas edge program — no (E, K·F) mask/message
+        # intermediates in HBM, and every backward scatter runs as a
+        # sorted Pallas segment-sum too (fused_mma_edge_program).
+        from mma_tpu.ops.pallas.fused_mma import fused_mma_edge_program
 
         pat = _sigmoid_lane_pattern(specs, activation, parity, f)
-        s = fused_masked_aggregate(logits, h_c[graph.src], pat, graph, k)
+        c, d = mma_mask_projections(h_c, mask_weights.astype(compute_dtype))
+        s = fused_mma_edge_program(c, d, h_c, pat, graph, k)
         msgs = None
     else:
+        logits = mma_mask_logits(h_c, mask_weights.astype(compute_dtype), graph)
         mask = _apply_mask_activation(logits, specs, activation, parity)
         if dropout_on:
             keep = jax.random.bernoulli(rng, 1.0 - mask_dropout_rate, mask.shape)

@@ -140,10 +140,12 @@ def _masked_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref, ids_ref,
         rr = jax.lax.broadcasted_iota(jnp.int32, (block_r, block_sub), 0)
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (1, block_sub), 1)
 
-        logits = logits_ref[:]  # (B, K·F)
-        pat = pat_ref[:]  # (1, K·F) 0/1
+        # Mask math in f32 regardless of input dtype (Mosaic's logistic
+        # lowering mishandles bf16 broadcasts; VPU cost is identical).
+        logits = logits_ref[:].astype(jnp.float32)  # (B, K·F)
+        pat = pat_ref[:].astype(jnp.float32)  # (1, K·F) 0/1
         mask = jnp.where(pat > 0, jax.nn.sigmoid(logits), logits)
-        h = h_ref[:]  # (B, F)
+        h = h_ref[:].astype(jnp.float32)  # (B, F)
         if n_agg > 1:
             h = jnp.concatenate([h] * n_agg, axis=1)
         msg = mask * h
@@ -322,6 +324,100 @@ def fused_segment_sum(
 
     _op.defvjp(_op_fwd, _op_bwd)
     return _op(data)
+
+
+def fused_segment_sum_by_src(
+    data: jnp.ndarray,
+    graph: Graph,
+    *,
+    block_r: int = BLOCK_R,
+    block_b: int = BLOCK_B,
+    precision: str = "high",
+) -> jnp.ndarray:
+    """Segment-sum ``data`` (E, C) over ``graph.src`` → (N, C) float32.
+
+    The transpose orientation (CSC view): permutes the edge data into the
+    precomputed src-sorted order (``graph.src_perm`` / ``graph.col_ptr``)
+    and runs the same row-block kernel — this is how backward-pass
+    scatters (the transposes of gathers-by-src) stay scatter-free. Not
+    differentiable (it is itself backward-path machinery).
+    """
+    assert graph.src_perm is not None and graph.col_ptr is not None
+    if data.dtype == jnp.bfloat16:
+        precision = "fastest"
+    passes = _PASSES[precision]
+    data_p = data[graph.src_perm]
+    src_sorted = graph.src[graph.src_perm]
+    (data_p,), src_sorted = _pad_edges(
+        [data_p], src_sorted, graph.n_edge, graph.n_node, block_b
+    )
+    return _fused_segment_sum(
+        data_p, src_sorted, graph.col_ptr, block_r=block_r, block_b=block_b,
+        interpret=jax.devices()[0].platform != "tpu", passes=passes,
+    )
+
+
+def fused_mma_edge_program(
+    c: jnp.ndarray,
+    d: jnp.ndarray,
+    h: jnp.ndarray,
+    sig_pattern: jnp.ndarray,
+    graph: Graph,
+    n_agg: int,
+    *,
+    precision: str = "high",
+) -> jnp.ndarray:
+    """Full MMA edge program with Pallas forward *and* backward.
+
+    ``S[i] = Σ_{e: dst=i} act(c[dst_e] + d[src_e]) ⊙ tile(h[src_e], K)``
+    with ``c``/``d`` the per-node mask projections (N, K·F) and ``h``
+    (N, F). The custom VJP computes every backward scatter (the
+    transposes of the three gathers) as sorted Pallas segment-sums — by
+    dst for ``dc`` and via the CSC ordering for ``dd``/``dh`` — instead
+    of XLA scatter-adds, which otherwise make the backward pass ~5× the
+    forward.
+    """
+    e = graph.n_edge
+    ckf = c.shape[1]
+    f = ckf // n_agg
+    assert d.shape == c.shape and h.shape[1] == f
+
+    def _forward(c, d, h):
+        logits = c[graph.dst] + d[graph.src]  # (E, K·F)
+        hs = h[graph.src]  # (E, F)
+        s = fused_masked_aggregate(
+            logits, hs, sig_pattern, graph, n_agg, precision=precision
+        )
+        return s, logits, hs
+
+    @jax.custom_vjp
+    def _op(c, d, h):
+        return _forward(c, d, h)[0]
+
+    def _fwd(c, d, h):
+        s, logits, hs = _forward(c, d, h)
+        return s, (logits, hs)
+
+    def _bwd(res, ct):
+        logits, hs = res
+        pat = sig_pattern[None, :]
+        sig = jax.nn.sigmoid(logits)
+        mask = jnp.where(pat, sig, logits)
+        ge = ct[graph.dst].astype(logits.dtype)  # (E, K·F)
+        ge = jnp.where(graph.edge_mask[:, None], ge, 0)
+        h_t = jnp.tile(hs, (1, n_agg))
+        dlogits = ge * h_t * jnp.where(pat, sig * (1.0 - sig), 1.0)
+        dc = fused_segment_sum(dlogits, graph, precision=precision)
+        dd = fused_segment_sum_by_src(dlogits, graph, precision=precision)
+        gm = ge * mask
+        dh_e = gm[:, :f]
+        for kk in range(1, n_agg):
+            dh_e = dh_e + gm[:, kk * f : (kk + 1) * f]
+        dh = fused_segment_sum_by_src(dh_e, graph, precision=precision)
+        return dc.astype(c.dtype), dd.astype(d.dtype), dh.astype(h.dtype)
+
+    _op.defvjp(_fwd, _bwd)
+    return _op(c, d, h)
 
 
 def fused_masked_aggregate(

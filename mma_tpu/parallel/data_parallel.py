@@ -39,8 +39,6 @@ def make_dp_train_step(model, opt, mesh: Mesh, axis: str = "data"):
     (params, state, opt_state, loss)``; params/state replicated, batch
     sharded along the leading device axis."""
 
-    n_dev = mesh.shape[axis]
-
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -69,5 +67,4 @@ def make_dp_train_step(model, opt, mesh: Mesh, axis: str = "data"):
         updates, new_opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_state, new_opt_state, loss
 
-    del n_dev
     return step

@@ -55,6 +55,8 @@ def graph_shard_spec(axis: str, chunk_hint=None) -> Graph:
         node_mask=P(),
         deg=P(),
         row_ptr=P(),
+        src_perm=None,  # transpose view invalid across shards — dropped
+        col_ptr=None,
         chunk_hint=chunk_hint,
     )
 
@@ -69,7 +71,9 @@ def shard_graph(graph: Graph, mesh: Mesh, axis: str = "edge") -> Graph:
     import dataclasses
 
     graph = pad_edges_for_sharding(graph, int(np.prod([mesh.shape[axis]])))
-    graph = dataclasses.replace(graph, chunk_hint=None)
+    graph = dataclasses.replace(
+        graph, chunk_hint=None, src_perm=None, col_ptr=None
+    )
     spec = graph_shard_spec(axis)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),

@@ -165,3 +165,16 @@ def test_mma_layer_pallas_path_matches_xla():
     g_p = jax.grad(lambda p: loss(p, True))(params)
     for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-2, atol=5e-2)
+
+
+def test_segment_sum_by_src_matches_xla():
+    import jax
+    from mma_tpu.ops.pallas.fused_mma import fused_segment_sum_by_src
+
+    _, _, g = random_symmetric_graph(150, p=0.1, seed=7)
+    rs = np.random.RandomState(0)
+    data = rs.randn(g.n_edge, 32).astype(np.float32)
+    data[~np.asarray(g.edge_mask)] = 0.0
+    want = jax.ops.segment_sum(jnp.asarray(data), g.src, num_segments=g.n_node)
+    got = fused_segment_sum_by_src(jnp.asarray(data), g, precision="highest")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
