@@ -83,3 +83,35 @@ def test_aggregation_deterministic(setup):
     o1 = masked_multi_aggregate(h, graph, w, spec)
     o2 = masked_multi_aggregate(h, graph, w, spec)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_batchnorm_matches_torch():
+    """BatchNorm (train + eval + running stats) matches torch.nn.BatchNorm1d."""
+    torch = pytest.importorskip("torch")
+    from mma_tpu.nn.layers import BatchNorm
+
+    rs = np.random.RandomState(0)
+    bn = BatchNorm(5)
+    params = bn.init(None)
+    state = bn.init_state()
+    tbn = torch.nn.BatchNorm1d(5)
+
+    for step in range(3):
+        x = rs.randn(16, 5).astype(np.float32)
+        tbn.train()
+        want = tbn(torch.tensor(x)).detach().numpy()
+        got, state = bn.apply(params, state, jnp.asarray(x), training=True)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+    np.testing.assert_allclose(
+        np.asarray(state["mean"]), tbn.running_mean.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(state["var"]), tbn.running_var.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+    x = rs.randn(16, 5).astype(np.float32)
+    tbn.eval()
+    want = tbn(torch.tensor(x)).detach().numpy()
+    got, _ = bn.apply(params, state, jnp.asarray(x), training=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
