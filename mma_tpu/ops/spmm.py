@@ -31,6 +31,32 @@ def binary_spmm(
     edge shard to a full-size partial and partials combine with ``psum``
     (x and the output stay node-replicated).
     """
+    if use_pallas and axis_name is None and graph.src_perm is not None:
+        from mma_tpu.ops.pallas.fused_mma import (
+            fused_segment_sum,
+            fused_segment_sum_by_src,
+        )
+
+        # Custom VJP: the transpose of A@x over a binary adjacency is a
+        # src-keyed segment sum of dst-gathered cotangents — both
+        # directions run the sorted Pallas kernel (no XLA scatter).
+        @jax.custom_vjp
+        def _spmm(x):
+            gathered = x[graph.src]
+            gathered = jnp.where(graph.edge_mask[:, None], gathered, 0.0)
+            return fused_segment_sum(gathered, graph)
+
+        def _fwd(x):
+            return _spmm(x), None
+
+        def _bwd(_, ct):
+            ct_e = ct[graph.dst]
+            ct_e = jnp.where(graph.edge_mask[:, None], ct_e, 0.0)
+            return (fused_segment_sum_by_src(ct_e, graph),)
+
+        _spmm.defvjp(_fwd, _bwd)
+        return _spmm(x)
+
     gathered = x[graph.src]
     gathered = jnp.where(graph.edge_mask[:, None], gathered, 0.0)
     if use_pallas and axis_name is None:
