@@ -32,6 +32,10 @@ def build_parser():
     p.add_argument("--no-parity", action="store_true",
                    help="fixed semantics: all masks used + trained, independent scalers")
     p.add_argument("--subset", type=int, default=None, help="cap dataset size")
+    p.add_argument("--use-pallas", action="store_true",
+                   help="route sum-family reductions through the fused Pallas kernel")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize conv layers (memory for FLOPs)")
     p.add_argument("--log", type=str, default=None)
     p.add_argument("--checkpoint-dir", type=str, default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
@@ -54,6 +58,8 @@ def main(argv=None):
         seed=args.seed,
         parity=not args.no_parity,
         subset_size=args.subset,
+        use_pallas=args.use_pallas,
+        remat=args.remat,
         log_path=args.log,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,

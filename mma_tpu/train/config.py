@@ -60,6 +60,8 @@ class ZincConfig:
     subset_size: Optional[int] = None  # cap dataset size (CI/smoke)
     n_node_per_graph: int = 40  # padding budget per graph slot
     n_edge_per_graph: int = 100
+    use_pallas: bool = False
+    remat: bool = False
     log_path: Optional[str] = None
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0

@@ -167,6 +167,7 @@ def train_zinc(cfg: ZincConfig, datasets=None):
         post_layers=cfg.post_layers,
         mlp_sizes=cfg.mlp_sizes,
         parity=cfg.parity,
+        remat=cfg.remat,
     )
     key = jax.random.PRNGKey(cfg.seed)
     key, init_key = jax.random.split(key)
@@ -203,7 +204,7 @@ def train_zinc(cfg: ZincConfig, datasets=None):
     def train_step(params, state, opt_state, batch, rng):
         def loss_fn(p):
             pred, new_state = model.apply(
-                p, state, batch, training=True, rng=rng
+                p, state, batch, training=True, rng=rng, use_pallas=cfg.use_pallas
             )
             gm = batch.graph_mask.astype(pred.dtype)
             err = jnp.abs(pred - batch.target) * gm
@@ -217,7 +218,9 @@ def train_zinc(cfg: ZincConfig, datasets=None):
 
     @jax.jit
     def eval_step(params, state, batch):
-        pred, _ = model.apply(params, state, batch, training=False)
+        pred, _ = model.apply(
+            params, state, batch, training=False, use_pallas=cfg.use_pallas
+        )
         gm = batch.graph_mask.astype(pred.dtype)
         return jnp.sum(jnp.abs(pred - batch.target) * gm), jnp.sum(gm)
 
