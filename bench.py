@@ -98,6 +98,42 @@ def bench_node_mma(graph, n_feat, aggregators, seed=0):
     return res
 
 
+def bench_node_mma_train(graph, n_feat, aggregators, seed=0):
+    """Edges/s of one MMA-layer training step (fwd+bwd+update)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mma_tpu.nn.mma_layer import MMALayer
+
+    rs = np.random.RandomState(seed)
+    h = jnp.asarray(rs.randn(graph.n_node, n_feat).astype(np.float32))
+    layer = MMALayer(in_features=n_feat, out_features=n_feat, aggregators=aggregators)
+    params = layer.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    n_edges = int(np.asarray(graph.num_edges))
+
+    res = {}
+    for name, use_pallas in (("xla", False), ("pallas", True)):
+        @jax.jit
+        def step(p, o, x, up=use_pallas):
+            def loss(pp):
+                out = layer.apply(pp, x, graph, use_pallas=up)
+                return jnp.sum(jnp.where(graph.node_mask[:, None], out, 0.0) ** 2)
+
+            g = jax.grad(loss)(p)
+            u, o2 = opt.update(g, o, p)
+            return optax.apply_updates(p, u), o2
+
+        try:
+            dt = _time_fn(step, params, opt_state, h, iters=15)
+            res[name] = {"time_s": dt, "edges_per_s": n_edges / dt}
+        except Exception as e:
+            log(f"  train path {name} failed: {type(e).__name__}: {str(e)[:200]}")
+    return res
+
+
 def bench_zinc_conv(batch_size=64, seed=0):
     import jax
     import jax.numpy as jnp
@@ -151,6 +187,8 @@ def main():
     big = powerlaw_graph(131072, avg_deg=16, seed=1)
     details["synthetic-large"] = bench_node_mma(big, 64, ("mean", "mean2"))
     log("synthetic-large:", json.dumps(details["synthetic-large"]))
+    details["synthetic-large-train"] = bench_node_mma_train(big, 64, ("mean", "mean2"))
+    log("synthetic-large-train:", json.dumps(details["synthetic-large-train"]))
 
     head = details["synthetic-large"]
     best_name = max(head, key=lambda k: head[k]["edges_per_s"])
