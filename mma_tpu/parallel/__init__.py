@@ -11,6 +11,12 @@ from mma_tpu.parallel.data_parallel import (
     shard_stacked_batch,
     make_dp_train_step,
 )
+from mma_tpu.parallel.node_sharded import (
+    NodeShardedGraph,
+    build_node_sharded,
+    make_node_sharded_forward,
+    halo_exchange,
+)
 
 __all__ = [
     "make_mesh",
@@ -23,4 +29,8 @@ __all__ = [
     "stack_batches",
     "shard_stacked_batch",
     "make_dp_train_step",
+    "NodeShardedGraph",
+    "build_node_sharded",
+    "make_node_sharded_forward",
+    "halo_exchange",
 ]

@@ -142,3 +142,78 @@ def test_dp_zinc_step(setup):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_node_sharded_forward_matches_single_device(setup):
+    """Halo-exchange node-sharded forward ≡ unsharded forward (the
+    large-graph memory-scaling regime, SURVEY §5.7)."""
+    from mma_tpu.parallel.node_sharded import (
+        build_node_sharded,
+        make_node_sharded_forward,
+        place_on_mesh,
+        shard_node_values,
+    )
+
+    graph, x, model, params = setup
+    want = model.apply(params, x, graph, training=False)
+
+    n_dev = 8
+    mesh = make_mesh(("node",))
+    sg, cuts = build_node_sharded(graph, n_dev)
+    n_m = sg.node_mask.shape[1]
+    x_shards = shard_node_values(np.asarray(x)[:N], cuts, n_m)
+    sg = place_on_mesh(sg, mesh, "node")
+
+    fwd = make_node_sharded_forward(model, mesh, "node")
+    got = fwd(params, x_shards, sg)  # (S, N_m, C)
+
+    got_np = np.asarray(got)
+    ids = np.asarray(sg.global_ids)
+    mask = np.asarray(sg.node_mask)
+    want_np = np.asarray(want)
+    for p in range(n_dev):
+        rows = ids[p][mask[p]]
+        np.testing.assert_allclose(
+            got_np[p][mask[p]], want_np[rows], rtol=2e-4, atol=2e-4,
+            err_msg=f"shard {p}",
+        )
+
+
+def test_node_sharded_gradients_match(setup):
+    from mma_tpu.parallel.node_sharded import (
+        build_node_sharded,
+        make_node_sharded_forward,
+        place_on_mesh,
+        shard_node_values,
+    )
+
+    graph, x, model, params = setup
+    labels_np = np.random.RandomState(3).randint(0, 4, N)
+    n_dev = 8
+    mesh = make_mesh(("node",))
+    sg, cuts = build_node_sharded(graph, n_dev)
+    n_m = sg.node_mask.shape[1]
+    x_shards = shard_node_values(np.asarray(x)[:N], cuts, n_m)
+    labels_sh = shard_node_values(labels_np.reshape(-1, 1), cuts, n_m)[..., 0]
+    sg_m = place_on_mesh(sg, mesh, "node")
+    fwd = make_node_sharded_forward(model, mesh, "node")
+
+    nmask = jnp.asarray(np.asarray(sg.node_mask))
+
+    def sharded_loss(p):
+        logp = fwd(p, x_shards, sg_m)  # (S, N_m, C)
+        pick = jnp.take_along_axis(
+            logp, labels_sh.astype(jnp.int32)[..., None], axis=-1
+        )[..., 0]
+        return -jnp.sum(jnp.where(nmask, pick, 0.0)) / N
+
+    labels_full = jnp.asarray(labels_np)
+
+    def ref_loss(p):
+        logp = model.apply(p, x, graph, training=False)
+        return -jnp.mean(logp[jnp.arange(N), labels_full])
+
+    g1 = jax.grad(ref_loss)(params)
+    g2 = jax.grad(sharded_loss)(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-4, atol=1e-5)
