@@ -43,7 +43,6 @@ import jax
 import jax.numpy as jnp
 
 from mma_tpu.graph.container import Graph
-from mma_tpu.nn import init as inits
 from mma_tpu.nn.layers import Dense, dropout
 from mma_tpu.ops.segment import segment_max, segment_min, segment_sum
 

@@ -22,8 +22,6 @@ top of the same axis plumbing.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,6 @@ subgraph per device and psums gradients (``make_sampled_dp_step``).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from typing import Optional
 
@@ -19,11 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
-
 from mma_tpu.data.sampling import NeighborSampler
-from mma_tpu.models import NodeClassifier
+from mma_tpu.models import NodeClassifier  # noqa: F401 (public API)
 from mma_tpu.train.logger import JsonlLogger
 from mma_tpu.train.metrics import accuracy
 from mma_tpu.train.optim import make_optimizer
