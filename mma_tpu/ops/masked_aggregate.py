@@ -130,13 +130,11 @@ def masked_multi_aggregate(
     dropout_on = rng is not None and mask_dropout_rate > 0.0
     need_moments = any(sp.combine in ("std", "moment_3") for sp in specs)
 
-    fused_ok = (
-        use_pallas
-        and axis_name is None
-        and not dropout_on
-        and not need_moments
-        and graph.src_perm is not None
-    )
+    # Pallas paths require per-device-local CSR/CSC structure: always
+    # present unsharded; under edge sharding only with kernel_structure
+    # (signalled by src_perm being carried).
+    pallas_ok = use_pallas and graph.src_perm is not None
+    fused_ok = pallas_ok and not dropout_on and not need_moments
     if fused_ok:
         # Fully fused path: gathers + activation + multiply + segment-sum
         # through the Pallas edge program — no (E, K·F) mask/message
@@ -159,7 +157,7 @@ def masked_multi_aggregate(
         msgs = mask * h_src
         msgs = jnp.where(graph.edge_mask[:, None], msgs, 0.0)
 
-        if use_pallas and axis_name is None:
+        if pallas_ok:
             from mma_tpu.ops.pallas.fused_mma import fused_segment_sum
 
             s = fused_segment_sum(msgs, graph)  # (N, K·F)

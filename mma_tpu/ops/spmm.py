@@ -31,7 +31,7 @@ def binary_spmm(
     edge shard to a full-size partial and partials combine with ``psum``
     (x and the output stay node-replicated).
     """
-    if use_pallas and axis_name is None and graph.src_perm is not None:
+    if use_pallas and graph.src_perm is not None:
         from mma_tpu.ops.pallas.fused_mma import (
             fused_segment_sum,
             fused_segment_sum_by_src,
@@ -40,6 +40,9 @@ def binary_spmm(
         # Custom VJP: the transpose of A@x over a binary adjacency is a
         # src-keyed segment sum of dst-gathered cotangents — both
         # directions run the sorted Pallas kernel (no XLA scatter).
+        # IMPORTANT: the op and its VJP are purely LOCAL; under edge
+        # sharding the psum goes *outside* so shard_map's AD composes
+        # (a psum inside the bwd would mix partial cotangents).
         @jax.custom_vjp
         def _spmm(x):
             gathered = x[graph.src]
@@ -55,7 +58,10 @@ def binary_spmm(
             return (fused_segment_sum_by_src(ct_e, graph),)
 
         _spmm.defvjp(_fwd, _bwd)
-        return _spmm(x)
+        out = _spmm(x)
+        if axis_name is not None:
+            out = jax.lax.psum(out, axis_name)
+        return out
 
     gathered = x[graph.src]
     gathered = jnp.where(graph.edge_mask[:, None], gathered, 0.0)

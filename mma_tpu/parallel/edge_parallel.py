@@ -42,10 +42,26 @@ def pad_edges_for_sharding(graph: Graph, num_shards: int) -> Graph:
     return pad_graph(graph, graph.n_node, e_pad)
 
 
-def graph_shard_spec(axis: str, chunk_hint=None) -> Graph:
+def graph_shard_spec(axis: str, kernel_structure: bool = False) -> Graph:
     """A ``Graph``-shaped pytree of ``PartitionSpec``s: edges sharded,
-    node arrays replicated. ``chunk_hint`` must match the target graph's
-    static metadata for pytree-structure equality."""
+    node arrays replicated.
+
+    ``kernel_structure=True`` matches graphs produced by
+    ``shard_graph(..., kernel_structure=True)``: per-shard CSR/CSC arrays
+    are stacked with a leading shard dim and sharded along it (each
+    device sees a ``(1, ·)`` block — ``localize_graph`` squeezes it)."""
+    if kernel_structure:
+        return Graph(
+            src=P(axis),
+            dst=P(axis),
+            edge_mask=P(axis),
+            node_mask=P(),
+            deg=P(),
+            row_ptr=P(axis),  # stacked (S, N+1)
+            src_perm=P(axis),  # stacked (S, E/S)
+            col_ptr=P(axis),  # stacked (S, N+1)
+            chunk_hint=None,
+        )
     return Graph(
         src=P(axis),
         dst=P(axis),
@@ -55,24 +71,70 @@ def graph_shard_spec(axis: str, chunk_hint=None) -> Graph:
         row_ptr=P(),
         src_perm=None,  # transpose view invalid across shards — dropped
         col_ptr=None,
-        chunk_hint=chunk_hint,
+        chunk_hint=None,
     )
 
 
-def shard_graph(graph: Graph, mesh: Mesh, axis: str = "edge") -> Graph:
+def localize_graph(graph: Graph) -> Graph:
+    """Inside ``shard_map``: squeeze the leading shard dim off the
+    stacked per-shard structure arrays (no-op for plain sharded graphs)."""
+    import dataclasses
+
+    if graph.row_ptr.ndim == 1:
+        return graph
+    return dataclasses.replace(
+        graph,
+        row_ptr=graph.row_ptr[0],
+        src_perm=graph.src_perm[0] if graph.src_perm is not None else None,
+        col_ptr=graph.col_ptr[0] if graph.col_ptr is not None else None,
+    )
+
+
+def shard_graph(
+    graph: Graph, mesh: Mesh, axis: str = "edge", kernel_structure: bool = False
+) -> Graph:
     """Place a graph on the mesh with edges sharded along ``axis``.
 
-    The returned graph's ``chunk_hint`` is cleared: the hint describes the
-    unsharded edge layout and the fused Pallas path is not used under edge
-    sharding (keeps its pytree structure equal to ``graph_shard_spec``'s).
+    ``kernel_structure=True`` additionally builds *per-shard* CSR row
+    offsets and CSC (src-sorted) orderings host-side so each device runs
+    the fused Pallas kernels on its local edge slice (partial outputs
+    psum-combined). Without it the sharded paths use XLA segment ops.
     """
     import dataclasses
 
-    graph = pad_edges_for_sharding(graph, int(np.prod([mesh.shape[axis]])))
-    graph = dataclasses.replace(
-        graph, chunk_hint=None, src_perm=None, col_ptr=None
-    )
-    spec = graph_shard_spec(axis)
+    num_shards = int(np.prod([mesh.shape[axis]]))
+    graph = pad_edges_for_sharding(graph, num_shards)
+
+    if kernel_structure:
+        from mma_tpu.graph import native
+
+        n = graph.n_node
+        e_loc = graph.n_edge // num_shards
+        dst = np.asarray(graph.dst)
+        src = np.asarray(graph.src)
+        row_ptrs = np.zeros((num_shards, n + 1), np.int32)
+        src_perms = np.zeros((num_shards, e_loc), np.int32)
+        col_ptrs = np.zeros((num_shards, n + 1), np.int32)
+        for p in range(num_shards):
+            lo = p * e_loc
+            d_loc = dst[lo : lo + e_loc]
+            s_loc = src[lo : lo + e_loc]
+            row_ptrs[p] = native.build_row_ptr(d_loc, n)
+            _, s_sorted, perm = native.sort_edges(d_loc, s_loc, n)
+            src_perms[p] = perm
+            col_ptrs[p] = native.build_row_ptr(s_sorted, n)
+        graph = dataclasses.replace(
+            graph,
+            row_ptr=jnp.asarray(row_ptrs),
+            src_perm=jnp.asarray(src_perms),
+            col_ptr=jnp.asarray(col_ptrs),
+            chunk_hint=None,
+        )
+    else:
+        graph = dataclasses.replace(
+            graph, chunk_hint=None, src_perm=None, col_ptr=None
+        )
+    spec = graph_shard_spec(axis, kernel_structure)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         graph,
@@ -80,28 +142,36 @@ def shard_graph(graph: Graph, mesh: Mesh, axis: str = "edge") -> Graph:
     )
 
 
-def make_edge_sharded_forward(model, mesh: Mesh, axis: str = "edge"):
+def make_edge_sharded_forward(
+    model, mesh: Mesh, axis: str = "edge", use_pallas: bool = False
+):
     """``forward(params, x, graph) -> logp`` running edge-sharded.
 
     ``model`` is a :class:`~mma_tpu.models.node_classifier.NodeClassifier`;
     params/x replicated, graph edges sharded, output replicated.
+    ``use_pallas`` requires a graph from
+    ``shard_graph(..., kernel_structure=True)``.
     """
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), graph_shard_spec(axis)),
+        in_specs=(P(), P(), graph_shard_spec(axis, use_pallas)),
         out_specs=P(),
         check_rep=False,
     )
     def fwd(params, x, graph):
-        return model.apply(params, x, graph, training=False, axis_name=axis)
+        return model.apply(
+            params, x, localize_graph(graph), training=False,
+            axis_name=axis, use_pallas=use_pallas,
+        )
 
     return fwd
 
 
 def make_edge_sharded_train_step(
-    model, opt, mesh: Mesh, labels, idx_train, axis: str = "edge"
+    model, opt, mesh: Mesh, labels, idx_train, axis: str = "edge",
+    use_pallas: bool = False,
 ):
     """Full-batch training step with edges sharded and grads exact.
 
@@ -115,12 +185,15 @@ def make_edge_sharded_train_step(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), graph_shard_spec(axis), P()),
+        in_specs=(P(), P(), graph_shard_spec(axis, use_pallas), P()),
         out_specs=P(),
         check_rep=False,
     )
     def fwd(params, x, graph, rng):
-        return model.apply(params, x, graph, training=True, rng=rng, axis_name=axis)
+        return model.apply(
+            params, x, localize_graph(graph), training=True, rng=rng,
+            axis_name=axis, use_pallas=use_pallas,
+        )
 
     @jax.jit
     def step(params, opt_state, x, graph, rng):
