@@ -382,9 +382,14 @@ def fused_mma_edge_program(
     f = ckf // n_agg
     assert d.shape == c.shape and h.shape[1] == f
 
+    # Random-access HBM reads are the cost floor (~100 GB/s measured vs
+    # ~230 GB/s for dst-sorted gathers), so src-keyed gathers are fused
+    # into ONE wide pass over a concatenated [d ‖ h] table (and the
+    # backward's src-keyed reductions into one wide permuted kernel).
     def _forward(c, d, h):
-        logits = c[graph.dst] + d[graph.src]  # (E, K·F)
-        hs = h[graph.src]  # (E, F)
+        dh_src = jnp.concatenate([d, h], axis=1)[graph.src]  # (E, K·F+F)
+        logits = c[graph.dst] + dh_src[:, :ckf]
+        hs = dh_src[:, ckf:]
         s = fused_masked_aggregate(
             logits, hs, sig_pattern, graph, n_agg, precision=precision
         )
@@ -403,17 +408,20 @@ def fused_mma_edge_program(
         pat = sig_pattern[None, :]
         sig = jax.nn.sigmoid(logits)
         mask = jnp.where(pat, sig, logits)
-        ge = ct[graph.dst].astype(logits.dtype)  # (E, K·F)
+        ge = ct[graph.dst].astype(logits.dtype)  # (E, K·F) — dst-sorted, fast
         ge = jnp.where(graph.edge_mask[:, None], ge, 0)
         h_t = jnp.tile(hs, (1, n_agg))
         dlogits = ge * h_t * jnp.where(pat, sig * (1.0 - sig), 1.0)
         dc = fused_segment_sum(dlogits, graph, precision=precision)
-        dd = fused_segment_sum_by_src(dlogits, graph, precision=precision)
         gm = ge * mask
         dh_e = gm[:, :f]
         for kk in range(1, n_agg):
             dh_e = dh_e + gm[:, kk * f : (kk + 1) * f]
-        dh = fused_segment_sum_by_src(dh_e, graph, precision=precision)
+        # One wide src-keyed pass for both dd and dh.
+        src_side = fused_segment_sum_by_src(
+            jnp.concatenate([dlogits, dh_e], axis=1), graph, precision=precision
+        )
+        dd, dh = src_side[:, :ckf], src_side[:, ckf:]
         return dc.astype(c.dtype), dd.astype(d.dtype), dh.astype(h.dtype)
 
     _op.defvjp(_fwd, _bwd)
