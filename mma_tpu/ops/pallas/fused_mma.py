@@ -85,6 +85,22 @@ def _contract(acc, onehot, d, passes):
     return acc
 
 
+def _select_rows(onehot, table, passes):
+    """Row gather via the MXU: ``out[s] = table[row_of(s)]`` as
+    ``onehotᵀ (S, R) @ table (R, C)`` with bf16-split table operand
+    (rows with no one-hot hit come back 0)."""
+    oh = onehot.astype(jnp.float32)
+    m = table.astype(jnp.float32)
+    acc = jnp.zeros((onehot.shape[1], table.shape[1]), jnp.float32)
+    for _ in range(passes):
+        hi = m.astype(jnp.bfloat16).astype(jnp.float32)
+        acc += jax.lax.dot_general(
+            oh, hi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = m - hi
+    return acc
+
+
 def _sum_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref, ids_ref, data_ref,
                 out_ref, *, block_b, block_sub, passes):
     i = pl.program_id(0)
@@ -160,6 +176,136 @@ def _masked_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref, ids_ref,
                 acc, onehot, msg[j * block_sub : (j + 1) * block_sub, :], passes
             )
         out_ref[:] += acc
+
+
+def _program_fwd_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref, ids_ref,
+                        dh_ref, c_ref, pat_ref, out_ref, *, block_b, block_sub,
+                        passes, n_agg):
+    """Fully fused MMA edge-program forward: the per-edge ``c[dst]`` term
+    is gathered *in-kernel* from the block-resident ``c`` rows (one-hot
+    MXU select), so logits never materialize in HBM. Per chunk:
+    ``msg = act(c[dst] + d_src) * tile(h_src, K)`` then the one-hot
+    segment-sum contraction. Inputs per edge are just the gathered
+    ``[d ‖ h]`` table rows."""
+    i = pl.program_id(0)
+    r = bstep_ref[i]
+    c = cstep_ref[i]
+    start, end = starts_ref[r], ends_ref[r]
+    num_chunks = pl.cdiv(end, block_b) - start // block_b
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when((start < end) & (c < num_chunks))
+    def _():
+        block_r = out_ref.shape[0]
+        ckf = out_ref.shape[1]
+        g = start // block_b + c
+        row0 = r * block_r
+        rr = jax.lax.broadcasted_iota(jnp.int32, (block_r, block_sub), 0)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (1, block_sub), 1)
+        pat = pat_ref[:].astype(jnp.float32)  # (1, K·F) 0/1
+        c_block = c_ref[:].astype(jnp.float32)  # (R, K·F)
+
+        acc = jnp.zeros_like(out_ref)
+        for j in range(block_b // block_sub):
+            gidx = g * block_b + j * block_sub + sub_iota  # (1, S)
+            covered = (gidx >= start) & (gidx < end)
+            ids = ids_ref[0, j : j + 1, :]  # (1, S)
+            onehot = ((ids - row0) == rr) & covered  # (R, S)
+            dh = dh_ref[pl.ds(j * block_sub, block_sub), :].astype(jnp.float32)
+            d_sub, h_sub = dh[:, :ckf], dh[:, ckf:]
+            logits = _select_rows(onehot, c_block, passes) + d_sub  # (S, K·F)
+            mask = jnp.where(pat > 0, jax.nn.sigmoid(logits), logits)
+            if n_agg > 1:
+                h_sub = jnp.concatenate([h_sub] * n_agg, axis=1)
+            acc = _contract(acc, onehot, mask * h_sub, passes)
+        out_ref[:] += acc
+
+
+def _program_bwd_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref, nreal_ref,
+                        ids_ref, dh_ref, c_ref, ct_ref, pat_ref,
+                        dc_ref, payload_ref, *, block_b, block_sub, passes,
+                        n_agg):
+    """Fused MMA edge-program backward, dst orientation, one edge pass.
+
+    Recomputes the mask chain from the forward residual (the gathered
+    ``[d ‖ h]`` rows) plus block-resident ``c``, gathers the cotangent
+    ``ct[dst]`` via one-hot MXU select, and emits both
+
+    - ``dc`` — the dst-keyed reduction of ``dlogits`` (accumulated across
+      the block's chunks like the forward output), and
+    - ``payload = [dlogits ‖ dh_e]`` per edge — everything the src-keyed
+      half of the backward needs, written chunk-aligned so the CSC pass
+      (``fused_segment_sum_by_src``) consumes it directly.
+
+    This replaces the XLA elementwise VJP chain (gather → sigmoid →
+    three products → concat → separate segment-sum), which is ~4× the
+    HBM traffic. A payload chunk shared by two row blocks is visited by
+    consecutive grid steps; the second visitor (``c == 0`` with an
+    unaligned start) preserves the first's rows instead of zeroing."""
+    i = pl.program_id(0)
+    r = bstep_ref[i]
+    c = cstep_ref[i]
+    start, end = starts_ref[r], ends_ref[r]
+    n_real = nreal_ref[0]
+    num_chunks = pl.cdiv(end, block_b) - start // block_b
+
+    @pl.when(c == 0)
+    def _():
+        dc_ref[:] = jnp.zeros_like(dc_ref)
+
+    @pl.when((start < end) & (c < num_chunks))
+    def _():
+        block_r = dc_ref.shape[0]
+        ckf = dc_ref.shape[1]
+        f = ckf // n_agg
+        g = start // block_b + c
+        row0 = r * block_r
+        rr = jax.lax.broadcasted_iota(jnp.int32, (block_r, block_sub), 0)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (1, block_sub), 1)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (block_sub, 1), 0)
+        pat = pat_ref[:].astype(jnp.float32)
+        c_block = c_ref[:].astype(jnp.float32)
+        ct_block = ct_ref[:].astype(jnp.float32)
+        shared_start = (c == 0) & (start % block_b != 0)
+
+        acc = jnp.zeros_like(dc_ref)
+        for j in range(block_b // block_sub):
+            base = g * block_b + j * block_sub
+            gidx = base + sub_iota  # (1, S)
+            covered = (gidx >= start) & (gidx < end)
+            ids = ids_ref[0, j : j + 1, :]
+            onehot = ((ids - row0) == rr) & covered  # (R, S)
+            # Padding edges (tail, index ≥ n_real) must contribute zero
+            # gradient — drop them from the cotangent gather.
+            onehot_real = onehot & (gidx < n_real)
+            dh = dh_ref[pl.ds(j * block_sub, block_sub), :].astype(jnp.float32)
+            d_sub, h_sub = dh[:, :ckf], dh[:, ckf:]
+            logits = _select_rows(onehot, c_block, passes) + d_sub
+            sig = jax.nn.sigmoid(logits)
+            mask = jnp.where(pat > 0, sig, logits)
+            dmask = jnp.where(pat > 0, sig * (1.0 - sig), 1.0)
+            ge = _select_rows(onehot_real, ct_block, passes)  # (S, K·F)
+            if n_agg > 1:
+                h_t = jnp.concatenate([h_sub] * n_agg, axis=1)
+            else:
+                h_t = h_sub
+            dlog = ge * h_t * dmask
+            gm = ge * mask
+            dh_e = gm[:, :f]
+            for kk in range(1, n_agg):
+                dh_e = dh_e + gm[:, kk * f : (kk + 1) * f]
+            acc = _contract(acc, onehot, dlog, passes)
+
+            val = jnp.concatenate([dlog, dh_e], axis=1)  # (S, K·F+F)
+            covered_col = (base + col_iota >= start) & (base + col_iota < end)
+            prev = payload_ref[pl.ds(j * block_sub, block_sub), :]
+            payload_ref[pl.ds(j * block_sub, block_sub), :] = jnp.where(
+                covered_col, val, jnp.where(shared_start, prev, 0.0)
+            )
+        dc_ref[:] += acc
 
 
 def _grid_and_prefetch(row_ptr, e_pad, block_r, block_b):
@@ -269,6 +415,120 @@ def _fused_masked_segment_sum(logits, h_src, pattern, dst, row_ptr, *, block_r,
       dst.reshape(num_chunks, n_sub, BLOCK_SUB), logits, h_src, pattern)[:n]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("block_r", "block_b", "interpret", "passes", "n_agg")
+)
+def _fused_program_fwd(c, dh_src, pattern, dst, row_ptr, *, block_r, block_b,
+                       interpret, passes, n_agg):
+    e_pad, ckf_f = dh_src.shape
+    assert e_pad % block_b == 0
+    (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
+     ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
+    chunk_index = _chunk_index_fn(num_chunks, block_b)
+    n_sub = block_b // BLOCK_SUB
+    ckf = c.shape[1]
+    n_rows = int(num_blocks) * block_r
+    c_p = jnp.pad(c, ((0, n_rows - c.shape[0]), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(total_steps,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_sub, BLOCK_SUB),
+                lambda i, b, c_, s, e: (chunk_index(i, b, c_, s, e), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_b, ckf_f),
+                lambda i, b, c_, s, e: (chunk_index(i, b, c_, s, e), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((block_r, ckf), lambda i, b, c_, s, e: (b[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ckf), lambda i, b, c_, s, e: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_r, ckf), lambda i, b, c_, s, e: (b[i], 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _program_fwd_kernel, block_b=block_b, block_sub=BLOCK_SUB,
+            passes=passes, n_agg=n_agg,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, ckf), jnp.float32),
+        interpret=interpret,
+    )(block_of, chunk_of, starts, ends,
+      dst.reshape(num_chunks, n_sub, BLOCK_SUB), dh_src, c_p, pattern)[:n]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_r", "block_b", "interpret", "passes", "n_agg")
+)
+def _fused_program_bwd(c, ct, dh_src, pattern, dst, row_ptr, n_real, *,
+                       block_r, block_b, interpret, passes, n_agg):
+    e_pad, ckf_f = dh_src.shape
+    assert e_pad % block_b == 0
+    (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
+     ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
+    chunk_index = _chunk_index_fn(num_chunks, block_b)
+    n_sub = block_b // BLOCK_SUB
+    ckf = c.shape[1]
+    n_rows = int(num_blocks) * block_r
+    c_p = jnp.pad(c, ((0, n_rows - c.shape[0]), (0, 0)))
+    ct_p = jnp.pad(ct, ((0, n_rows - ct.shape[0]), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(total_steps,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_sub, BLOCK_SUB),
+                lambda i, b, c_, s, e, nr: (chunk_index(i, b, c_, s, e), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_b, ckf_f),
+                lambda i, b, c_, s, e, nr: (chunk_index(i, b, c_, s, e), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((block_r, ckf), lambda i, b, c_, s, e, nr: (b[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, ckf), lambda i, b, c_, s, e, nr: (b[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ckf), lambda i, b, c_, s, e, nr: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_r, ckf), lambda i, b, c_, s, e, nr: (b[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_b, ckf_f),
+                lambda i, b, c_, s, e, nr: (chunk_index(i, b, c_, s, e), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+    )
+    dc, payload = pl.pallas_call(
+        functools.partial(
+            _program_bwd_kernel, block_b=block_b, block_sub=BLOCK_SUB,
+            passes=passes, n_agg=n_agg,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rows, ckf), jnp.float32),
+            jax.ShapeDtypeStruct((e_pad, ckf_f), jnp.float32),
+        ),
+        interpret=interpret,
+    )(block_of, chunk_of, starts, ends, n_real,
+      dst.reshape(num_chunks, n_sub, BLOCK_SUB), dh_src, c_p, ct_p, pattern)
+    return dc[:n], payload
+
+
 def _pad_edges(arrs, dst, n_edge, n_node, block_b):
     pad = (-n_edge) % block_b
     if pad:
@@ -371,55 +631,64 @@ def fused_mma_edge_program(
 
     ``S[i] = Σ_{e: dst=i} act(c[dst_e] + d[src_e]) ⊙ tile(h[src_e], K)``
     with ``c``/``d`` the per-node mask projections (N, K·F) and ``h``
-    (N, F). The custom VJP computes every backward scatter (the
-    transposes of the three gathers) as sorted Pallas segment-sums — by
-    dst for ``dc`` and via the CSC ordering for ``dd``/``dh`` — instead
-    of XLA scatter-adds, which otherwise make the backward pass ~5× the
-    forward.
+    (N, F).
+
+    HBM-traffic-minimal design (random-access reads are the cost floor:
+    ~100 GB/s measured vs ~400 GB/s for dst-sorted gathers):
+
+    - forward: ONE wide src-keyed gather over a concatenated ``[d ‖ h]``
+      table; the ``c[dst]`` term is selected *in-kernel* from
+      block-resident ``c`` rows (one-hot MXU), so neither logits nor
+      messages ever materialize in HBM. The gathered rows double as the
+      only backward residual.
+    - backward: one fused dst-oriented kernel recomputes the mask chain,
+      selects ``ct[dst]`` in-kernel, and emits ``dc`` plus the per-edge
+      ``[dlogits ‖ dh_e]`` payload; the src-keyed reductions (``dd``,
+      ``dh``) then run as ONE wide CSC-permuted Pallas segment-sum.
+      No XLA scatter-adds and no standalone elementwise VJP chain.
     """
     e = graph.n_edge
     ckf = c.shape[1]
     f = ckf // n_agg
     assert d.shape == c.shape and h.shape[1] == f
+    passes = _PASSES[precision]
+    interpret = jax.devices()[0].platform != "tpu"
+    pat2d = sig_pattern.astype(jnp.float32).reshape(1, ckf)
 
-    # Random-access HBM reads are the cost floor (~100 GB/s measured vs
-    # ~230 GB/s for dst-sorted gathers), so src-keyed gathers are fused
-    # into ONE wide pass over a concatenated [d ‖ h] table (and the
-    # backward's src-keyed reductions into one wide permuted kernel).
-    def _forward(c, d, h):
-        dh_src = jnp.concatenate([d, h], axis=1)[graph.src]  # (E, K·F+F)
-        logits = c[graph.dst] + dh_src[:, :ckf]
-        hs = dh_src[:, ckf:]
-        s = fused_masked_aggregate(
-            logits, hs, sig_pattern, graph, n_agg, precision=precision
+    def _fwd_run(c, dh_src):
+        (dh_p,), dst = _pad_edges(
+            [dh_src], graph.dst, e, graph.n_node, BLOCK_B
         )
-        return s, logits, hs
+        return _fused_program_fwd(
+            c.astype(jnp.float32), dh_p, pat2d, dst, graph.row_ptr,
+            block_r=BLOCK_R, block_b=BLOCK_B, interpret=interpret,
+            passes=passes, n_agg=n_agg,
+        )
 
     @jax.custom_vjp
     def _op(c, d, h):
-        return _forward(c, d, h)[0]
+        dh_src = jnp.concatenate([d, h], axis=1)[graph.src]  # (E, K·F+F)
+        return _fwd_run(c, dh_src)
 
     def _fwd(c, d, h):
-        s, logits, hs = _forward(c, d, h)
-        return s, (logits, hs)
+        dh_src = jnp.concatenate([d, h], axis=1)[graph.src]
+        return _fwd_run(c, dh_src), (c, dh_src)
 
     def _bwd(res, ct):
-        logits, hs = res
-        pat = sig_pattern[None, :]
-        sig = jax.nn.sigmoid(logits)
-        mask = jnp.where(pat, sig, logits)
-        ge = ct[graph.dst].astype(logits.dtype)  # (E, K·F) — dst-sorted, fast
-        ge = jnp.where(graph.edge_mask[:, None], ge, 0)
-        h_t = jnp.tile(hs, (1, n_agg))
-        dlogits = ge * h_t * jnp.where(pat, sig * (1.0 - sig), 1.0)
-        dc = fused_segment_sum(dlogits, graph, precision=precision)
-        gm = ge * mask
-        dh_e = gm[:, :f]
-        for kk in range(1, n_agg):
-            dh_e = dh_e + gm[:, kk * f : (kk + 1) * f]
+        c_, dh_src = res
+        (dh_p,), dst = _pad_edges(
+            [dh_src], graph.dst, e, graph.n_node, BLOCK_B
+        )
+        n_real = graph.num_edges.astype(jnp.int32).reshape(1)
+        dc, payload = _fused_program_bwd(
+            c_.astype(jnp.float32), ct.astype(jnp.float32), dh_p, pat2d,
+            dst, graph.row_ptr, n_real,
+            block_r=BLOCK_R, block_b=BLOCK_B, interpret=interpret,
+            passes=passes, n_agg=n_agg,
+        )
         # One wide src-keyed pass for both dd and dh.
         src_side = fused_segment_sum_by_src(
-            jnp.concatenate([dlogits, dh_e], axis=1), graph, precision=precision
+            payload[:e], graph, precision=precision
         )
         dd, dh = src_side[:, :ckf], src_side[:, ckf:]
         return dc.astype(c.dtype), dd.astype(d.dtype), dh.astype(h.dtype)

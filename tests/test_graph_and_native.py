@@ -178,3 +178,57 @@ def test_segment_sum_by_src_matches_xla():
     want = jax.ops.segment_sum(jnp.asarray(data), g.src, num_segments=g.n_node)
     got = fused_segment_sum_by_src(jnp.asarray(data), g, precision="highest")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n_agg,n,p", [(1, 100, 0.1), (2, 150, 0.08), (3, 257, 0.05)])
+def test_fused_edge_program_fwd_bwd_matches_xla(n_agg, n, p):
+    """fused_mma_edge_program (fully in-kernel fwd + fused bwd kernel)
+    matches a pure-XLA restatement for value and all three gradients,
+    including padding edges and a sigmoid/identity mixed lane pattern."""
+    import jax
+    from mma_tpu.ops.pallas.fused_mma import fused_mma_edge_program
+
+    _, _, g = random_symmetric_graph(n, p=p, seed=11 + n_agg)
+    rs = np.random.RandomState(n_agg)
+    f = 32
+    c = jnp.asarray(rs.randn(g.n_node, n_agg * f).astype(np.float32))
+    d = jnp.asarray(rs.randn(g.n_node, n_agg * f).astype(np.float32))
+    h = jnp.asarray(rs.randn(g.n_node, f).astype(np.float32))
+    # Mixed lanes: aggregator 0 identity, others sigmoid (N1-style table).
+    pat = jnp.asarray(
+        np.repeat(np.array([k > 0 for k in range(n_agg)], bool), f)
+    )
+    ct = jnp.asarray(rs.randn(g.n_node, n_agg * f).astype(np.float32))
+
+    def xla_ref(c, d, h):
+        logits = c[g.dst] + d[g.src]
+        mask = jnp.where(pat[None, :], jax.nn.sigmoid(logits), logits)
+        msg = mask * jnp.tile(h[g.src], (1, n_agg))
+        msg = jnp.where(g.edge_mask[:, None], msg, 0.0)
+        return jax.ops.segment_sum(
+            msg, g.dst, num_segments=g.n_node, indices_are_sorted=True
+        )
+
+    def fused(c, d, h):
+        return fused_mma_edge_program(c, d, h, pat, g, n_agg, precision="highest")
+
+    want = xla_ref(c, d, h)
+    got = fused(c, d, h)
+    # Padding-node output rows may differ (uncovered by edge_mask zeroing
+    # in the kernel they accumulate padding-edge messages) — compare real.
+    nm = np.asarray(g.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[nm], np.asarray(want)[nm], rtol=1e-5, atol=1e-5
+    )
+
+    def loss(fn, c, d, h):
+        out = fn(c, d, h)
+        return jnp.sum(jnp.where(g.node_mask[:, None], out, 0.0) * ct)
+
+    gw = jax.grad(lambda *a: loss(xla_ref, *a), argnums=(0, 1, 2))(c, d, h)
+    gg = jax.grad(lambda *a: loss(fused, *a), argnums=(0, 1, 2))(c, d, h)
+    for name, a, b in zip(("dc", "dd", "dh"), gw, gg):
+        np.testing.assert_allclose(
+            np.asarray(b)[nm], np.asarray(a)[nm], rtol=2e-5, atol=2e-5,
+            err_msg=name,
+        )
