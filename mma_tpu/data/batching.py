@@ -77,6 +77,8 @@ def batch_graphs(
         row_ptr=jnp.asarray(row_ptr),
         src_perm=jnp.asarray(src_perm),
         col_ptr=jnp.asarray(col_ptr),
+        src_csc=jnp.asarray(src_sorted),
+        dst_csc=jnp.asarray(dst[src_perm]),
         chunk_hint=chunk_hint_from_row_ptr(row_ptr, n_node),
     )
 

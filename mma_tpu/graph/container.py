@@ -65,10 +65,16 @@ class Graph:
     # Transpose (CSC) view for src-keyed segment reductions — the
     # backward pass of gathers-by-src. ``src_perm`` sorts edges by
     # (src-major, dst-minor); ``col_ptr`` are the offsets of each node's
-    # out-edges in that order. Optional: None disables the Pallas
-    # backward fast path.
+    # out-edges in that order. ``src_csc``/``dst_csc`` are the edge
+    # endpoints in that order (src_csc = src[src_perm], precomputed
+    # host-side so backward passes can gather node tables *directly
+    # into CSC order* — node-table gathers run ~2-5× faster than edge
+    # permutes, which are DMA-issue-rate bound). Optional: None disables
+    # the Pallas backward fast path.
     src_perm: "jnp.ndarray | None" = None  # (E,) int32
     col_ptr: "jnp.ndarray | None" = None  # (N+1,) int32
+    src_csc: "jnp.ndarray | None" = None  # (E,) int32 — src, CSC order
+    dst_csc: "jnp.ndarray | None" = None  # (E,) int32 — dst, CSC order
     # Static (non-leaf) metadata: host-computed kernel grid bounds
     # (max chunks per row block, total flattened steps) — diagnostics
     # only; the kernel derives its own bound.

@@ -44,6 +44,18 @@ from mma_tpu.graph.container import Graph
 
 _PASSES = {"fastest": 1, "high": 2, "highest": 3}
 
+# Src-keyed backward strategy for the fused edge program:
+# "csc_gather" gathers [ct ‖ c] node rows straight into CSC edge order and
+# recomputes the mask chain in the CSC kernel (no edge permute);
+# "payload_permute" emits the per-edge payload from the dst pass and
+# permutes it into CSC order. Measured on v5e (131k nodes / 2.1M edges,
+# F=64, K=2): payload_permute wins the full layer train step (22.7M vs
+# 21.6M edges/s) — the CSC recompute pass re-reads the wide [ct ‖ c]
+# table per edge, which outweighs the saved permute at this width. The
+# CSC-direct trick still pays off where there is nothing to recompute:
+# binary_spmm's backward gathers the cotangent straight into CSC order.
+EDGE_BWD_MODE = "payload_permute"
+
 
 def _step_maps(starts, ends, num_blocks, total_steps, block_b):
     """Scalar-prefetch arrays mapping flat step → (row block, chunk)."""
@@ -226,7 +238,7 @@ def _program_fwd_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref, ids_ref,
 
 def _program_bwd_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref, nreal_ref,
                         ids_ref, dh_ref, c_ref, ct_ref, pat_ref,
-                        dc_ref, payload_ref, *, block_b, block_sub, passes,
+                        dc_ref, *maybe_payload, block_b, block_sub, passes,
                         n_agg):
     """Fused MMA edge-program backward, dst orientation, one edge pass.
 
@@ -245,6 +257,7 @@ def _program_bwd_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref, nreal_ref,
     HBM traffic. A payload chunk shared by two row blocks is visited by
     consecutive grid steps; the second visitor (``c == 0`` with an
     unaligned start) preserves the first's rows instead of zeroing."""
+    payload_ref = maybe_payload[0] if maybe_payload else None
     i = pl.program_id(0)
     r = bstep_ref[i]
     c = cstep_ref[i]
@@ -299,13 +312,77 @@ def _program_bwd_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref, nreal_ref,
                 dh_e = dh_e + gm[:, kk * f : (kk + 1) * f]
             acc = _contract(acc, onehot, dlog, passes)
 
-            val = jnp.concatenate([dlog, dh_e], axis=1)  # (S, K·F+F)
-            covered_col = (base + col_iota >= start) & (base + col_iota < end)
-            prev = payload_ref[pl.ds(j * block_sub, block_sub), :]
-            payload_ref[pl.ds(j * block_sub, block_sub), :] = jnp.where(
-                covered_col, val, jnp.where(shared_start, prev, 0.0)
-            )
+            if payload_ref is not None:
+                val = jnp.concatenate([dlog, dh_e], axis=1)  # (S, K·F+F)
+                covered_col = (base + col_iota >= start) & (base + col_iota < end)
+                prev = payload_ref[pl.ds(j * block_sub, block_sub), :]
+                payload_ref[pl.ds(j * block_sub, block_sub), :] = jnp.where(
+                    covered_col, val, jnp.where(shared_start, prev, 0.0)
+                )
         dc_ref[:] += acc
+
+
+def _program_bwd_csc_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref,
+                            ids_ref, ctc_ref, d_ref, h_ref, pat_ref,
+                            out_ref, *, block_b, block_sub, passes, n_agg):
+    """Src-keyed half of the MMA edge-program backward, CSC orientation.
+
+    Consumes ``ctc = [ct ‖ c][dst_csc]`` — node-table rows gathered
+    straight into CSC edge order (no edge permute) — plus the
+    block-resident src-side tables ``d`` (R, K·F) and ``h`` (R, F).
+    Recomputes the mask chain per edge (logits = c-part + d[src] with
+    d selected in-kernel) and accumulates ``[dd ‖ dh]`` for the block's
+    src rows. Padding edges arrive pre-zeroed (their dst is the padding
+    node, whose ct/c rows the caller zeroes)."""
+    i = pl.program_id(0)
+    r = bstep_ref[i]
+    c = cstep_ref[i]
+    start, end = starts_ref[r], ends_ref[r]
+    num_chunks = pl.cdiv(end, block_b) - start // block_b
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when((start < end) & (c < num_chunks))
+    def _():
+        block_r = out_ref.shape[0]
+        ckf = d_ref.shape[1]
+        f = ckf // n_agg
+        g = start // block_b + c
+        row0 = r * block_r
+        rr = jax.lax.broadcasted_iota(jnp.int32, (block_r, block_sub), 0)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (1, block_sub), 1)
+        pat = pat_ref[:].astype(jnp.float32)
+        d_block = d_ref[:].astype(jnp.float32)
+        h_block = h_ref[:].astype(jnp.float32)
+
+        acc = jnp.zeros_like(out_ref)
+        for j in range(block_b // block_sub):
+            gidx = g * block_b + j * block_sub + sub_iota
+            covered = (gidx >= start) & (gidx < end)
+            ids = ids_ref[0, j : j + 1, :]
+            onehot = ((ids - row0) == rr) & covered
+            ctc = ctc_ref[pl.ds(j * block_sub, block_sub), :].astype(jnp.float32)
+            ge, c_part = ctc[:, :ckf], ctc[:, ckf:]
+            logits = c_part + _select_rows(onehot, d_block, passes)
+            sig = jax.nn.sigmoid(logits)
+            mask = jnp.where(pat > 0, sig, logits)
+            dmask = jnp.where(pat > 0, sig * (1.0 - sig), 1.0)
+            h_sel = _select_rows(onehot, h_block, passes)  # (S, F)
+            if n_agg > 1:
+                h_t = jnp.concatenate([h_sel] * n_agg, axis=1)
+            else:
+                h_t = h_sel
+            dlog = ge * h_t * dmask
+            gm = ge * mask
+            dh_e = gm[:, :f]
+            for kk in range(1, n_agg):
+                dh_e = dh_e + gm[:, kk * f : (kk + 1) * f]
+            acc = _contract(
+                acc, onehot, jnp.concatenate([dlog, dh_e], axis=1), passes
+            )
+        out_ref[:] += acc
 
 
 def _grid_and_prefetch(row_ptr, e_pad, block_r, block_b):
@@ -467,10 +544,14 @@ def _fused_program_fwd(c, dh_src, pattern, dst, row_ptr, *, block_r, block_b,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_r", "block_b", "interpret", "passes", "n_agg")
+    jax.jit,
+    static_argnames=(
+        "block_r", "block_b", "interpret", "passes", "n_agg", "emit_payload"
+    ),
 )
 def _fused_program_bwd(c, ct, dh_src, pattern, dst, row_ptr, n_real, *,
-                       block_r, block_b, interpret, passes, n_agg):
+                       block_r, block_b, interpret, passes, n_agg,
+                       emit_payload=True):
     e_pad, ckf_f = dh_src.shape
     assert e_pad % block_b == 0
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
@@ -506,27 +587,85 @@ def _fused_program_bwd(c, ct, dh_src, pattern, dst, row_ptr, n_real, *,
         out_specs=(
             pl.BlockSpec((block_r, ckf), lambda i, b, c_, s, e, nr: (b[i], 0),
                          memory_space=pltpu.VMEM),
+        ) + ((
             pl.BlockSpec(
                 (block_b, ckf_f),
                 lambda i, b, c_, s, e, nr: (chunk_index(i, b, c_, s, e), 0),
                 memory_space=pltpu.VMEM,
             ),
-        ),
+        ) if emit_payload else ()),
     )
-    dc, payload = pl.pallas_call(
+    out_shape = (jax.ShapeDtypeStruct((n_rows, ckf), jnp.float32),)
+    if emit_payload:
+        out_shape += (jax.ShapeDtypeStruct((e_pad, ckf_f), jnp.float32),)
+    outs = pl.pallas_call(
         functools.partial(
             _program_bwd_kernel, block_b=block_b, block_sub=BLOCK_SUB,
             passes=passes, n_agg=n_agg,
         ),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((n_rows, ckf), jnp.float32),
-            jax.ShapeDtypeStruct((e_pad, ckf_f), jnp.float32),
-        ),
+        out_shape=out_shape,
         interpret=interpret,
     )(block_of, chunk_of, starts, ends, n_real,
       dst.reshape(num_chunks, n_sub, BLOCK_SUB), dh_src, c_p, ct_p, pattern)
-    return dc[:n], payload
+    dc = outs[0][:n]
+    return (dc, outs[1]) if emit_payload else (dc, None)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_r", "block_b", "interpret", "passes", "n_agg")
+)
+def _fused_program_bwd_csc(ctc, d, h, pattern, src_csc, col_ptr, *,
+                           block_r, block_b, interpret, passes, n_agg):
+    e_pad, two_ckf = ctc.shape
+    assert e_pad % block_b == 0
+    (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
+     ) = _grid_and_prefetch(col_ptr, e_pad, block_r, block_b)
+    chunk_index = _chunk_index_fn(num_chunks, block_b)
+    n_sub = block_b // BLOCK_SUB
+    ckf = d.shape[1]
+    f = h.shape[1]
+    n_rows = int(num_blocks) * block_r
+    d_p = jnp.pad(d, ((0, n_rows - d.shape[0]), (0, 0)))
+    h_p = jnp.pad(h, ((0, n_rows - h.shape[0]), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(total_steps,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_sub, BLOCK_SUB),
+                lambda i, b, c_, s, e: (chunk_index(i, b, c_, s, e), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_b, two_ckf),
+                lambda i, b, c_, s, e: (chunk_index(i, b, c_, s, e), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((block_r, ckf), lambda i, b, c_, s, e: (b[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, f), lambda i, b, c_, s, e: (b[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ckf), lambda i, b, c_, s, e: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_r, ckf + f), lambda i, b, c_, s, e: (b[i], 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _program_bwd_csc_kernel, block_b=block_b, block_sub=BLOCK_SUB,
+            passes=passes, n_agg=n_agg,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, ckf + f), jnp.float32),
+        interpret=interpret,
+    )(block_of, chunk_of, starts, ends,
+      src_csc.reshape(num_chunks, n_sub, BLOCK_SUB), ctc, d_p, h_p, pattern)
+    return out[:n]
 
 
 def _pad_edges(arrs, dst, n_edge, n_node, block_b):
@@ -603,16 +742,40 @@ def fused_segment_sum_by_src(
     differentiable (it is itself backward-path machinery).
     """
     assert graph.src_perm is not None and graph.col_ptr is not None
-    if data.dtype == jnp.bfloat16:
+    data_p = data[graph.src_perm]
+    return fused_segment_sum_csc(
+        data_p, graph, block_r=block_r, block_b=block_b, precision=precision
+    )
+
+
+def fused_segment_sum_csc(
+    data_csc: jnp.ndarray,
+    graph: Graph,
+    *,
+    block_r: int = BLOCK_R,
+    block_b: int = BLOCK_B,
+    precision: str = "high",
+) -> jnp.ndarray:
+    """Segment-sum of *already CSC-ordered* edge data over src → (N, C).
+
+    The fast path for src-keyed backward reductions: producers that can
+    emit edge data directly in CSC order (e.g. node-table gathers by
+    ``graph.dst_csc``) skip the edge permute entirely — permutes of edge
+    arrays are DMA-issue-rate bound (~19 ns/row regardless of width or
+    run length), while node-table gathers run 2-5× faster per byte."""
+    assert graph.col_ptr is not None
+    if data_csc.dtype == jnp.bfloat16:
         precision = "fastest"
     passes = _PASSES[precision]
-    data_p = data[graph.src_perm]
-    src_sorted = graph.src[graph.src_perm]
-    (data_p,), src_sorted = _pad_edges(
-        [data_p], src_sorted, graph.n_edge, graph.n_node, block_b
+    src_sorted = (
+        graph.src_csc if graph.src_csc is not None
+        else graph.src[graph.src_perm]
+    )
+    (data_csc,), src_sorted = _pad_edges(
+        [data_csc], src_sorted, graph.n_edge, graph.n_node, block_b
     )
     return _fused_segment_sum(
-        data_p, src_sorted, graph.col_ptr, block_r=block_r, block_b=block_b,
+        data_csc, src_sorted, graph.col_ptr, block_r=block_r, block_b=block_b,
         interpret=jax.devices()[0].platform != "tpu", passes=passes,
     )
 
@@ -672,24 +835,47 @@ def fused_mma_edge_program(
 
     def _fwd(c, d, h):
         dh_src = jnp.concatenate([d, h], axis=1)[graph.src]
-        return _fwd_run(c, dh_src), (c, dh_src)
+        return _fwd_run(c, dh_src), (c, d, h, dh_src)
 
     def _bwd(res, ct):
-        c_, dh_src = res
+        c_, d_, h_, dh_src = res
         (dh_p,), dst = _pad_edges(
             [dh_src], graph.dst, e, graph.n_node, BLOCK_B
         )
         n_real = graph.num_edges.astype(jnp.int32).reshape(1)
+        csc = graph.dst_csc is not None and EDGE_BWD_MODE == "csc_gather"
         dc, payload = _fused_program_bwd(
             c_.astype(jnp.float32), ct.astype(jnp.float32), dh_p, pat2d,
             dst, graph.row_ptr, n_real,
             block_r=BLOCK_R, block_b=BLOCK_B, interpret=interpret,
-            passes=passes, n_agg=n_agg,
+            passes=passes, n_agg=n_agg, emit_payload=not csc,
         )
-        # One wide src-keyed pass for both dd and dh.
-        src_side = fused_segment_sum_by_src(
-            payload[:e], graph, precision=precision
-        )
+        if csc:
+            # Src-keyed half via CSC recompute: gather [ct ‖ c] node rows
+            # straight into CSC edge order (no edge permute — permutes are
+            # DMA-issue-bound) and rebuild the mask chain in-kernel from
+            # the block-resident d/h tables. Zeroing the padding node's ct
+            # row masks the padding edges (they all point at it).
+            ct_z = jnp.where(
+                graph.node_mask[:, None], ct.astype(jnp.float32), 0.0
+            )
+            ctc = jnp.concatenate([ct_z, c_.astype(jnp.float32)], axis=1)[
+                graph.dst_csc
+            ]
+            (ctc_p,), src_csc = _pad_edges(
+                [ctc], graph.src_csc, e, graph.n_node, BLOCK_B
+            )
+            src_side = _fused_program_bwd_csc(
+                ctc_p, d_.astype(jnp.float32), h_.astype(jnp.float32),
+                pat2d, src_csc, graph.col_ptr,
+                block_r=BLOCK_R, block_b=BLOCK_B, interpret=interpret,
+                passes=passes, n_agg=n_agg,
+            )
+        else:
+            # One wide src-keyed pass for both dd and dh.
+            src_side = fused_segment_sum_by_src(
+                payload[:e], graph, precision=precision
+            )
         dd, dh = src_side[:, :ckf], src_side[:, ckf:]
         return dc.astype(c.dtype), dd.astype(d.dtype), dh.astype(h.dtype)
 

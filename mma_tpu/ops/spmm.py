@@ -35,6 +35,7 @@ def binary_spmm(
         from mma_tpu.ops.pallas.fused_mma import (
             fused_segment_sum,
             fused_segment_sum_by_src,
+            fused_segment_sum_csc,
         )
 
         # Custom VJP: the transpose of A@x over a binary adjacency is a
@@ -53,6 +54,12 @@ def binary_spmm(
             return _spmm(x), None
 
         def _bwd(_, ct):
+            if graph.dst_csc is not None:
+                # Gather the cotangent straight into CSC order (node-table
+                # gather — no edge permute). Padding edges all point at
+                # the padding node, so zeroing its ct row masks them.
+                ct_z = jnp.where(graph.node_mask[:, None], ct, 0.0)
+                return (fused_segment_sum_csc(ct_z[graph.dst_csc], graph),)
             ct_e = ct[graph.dst]
             ct_e = jnp.where(graph.edge_mask[:, None], ct_e, 0.0)
             return (fused_segment_sum_by_src(ct_e, graph),)

@@ -60,6 +60,8 @@ def graph_shard_spec(axis: str, kernel_structure: bool = False) -> Graph:
             row_ptr=P(axis),  # stacked (S, N+1)
             src_perm=P(axis),  # stacked (S, E/S)
             col_ptr=P(axis),  # stacked (S, N+1)
+            src_csc=P(axis),  # stacked (S, E/S)
+            dst_csc=P(axis),  # stacked (S, E/S)
             chunk_hint=None,
         )
     return Graph(
@@ -71,6 +73,8 @@ def graph_shard_spec(axis: str, kernel_structure: bool = False) -> Graph:
         row_ptr=P(),
         src_perm=None,  # transpose view invalid across shards — dropped
         col_ptr=None,
+        src_csc=None,
+        dst_csc=None,
         chunk_hint=None,
     )
 
@@ -87,6 +91,8 @@ def localize_graph(graph: Graph) -> Graph:
         row_ptr=graph.row_ptr[0],
         src_perm=graph.src_perm[0] if graph.src_perm is not None else None,
         col_ptr=graph.col_ptr[0] if graph.col_ptr is not None else None,
+        src_csc=graph.src_csc[0] if graph.src_csc is not None else None,
+        dst_csc=graph.dst_csc[0] if graph.dst_csc is not None else None,
     )
 
 
@@ -115,6 +121,8 @@ def shard_graph(
         row_ptrs = np.zeros((num_shards, n + 1), np.int32)
         src_perms = np.zeros((num_shards, e_loc), np.int32)
         col_ptrs = np.zeros((num_shards, n + 1), np.int32)
+        src_cscs = np.zeros((num_shards, e_loc), np.int32)
+        dst_cscs = np.zeros((num_shards, e_loc), np.int32)
         for p in range(num_shards):
             lo = p * e_loc
             d_loc = dst[lo : lo + e_loc]
@@ -123,16 +131,21 @@ def shard_graph(
             _, s_sorted, perm = native.sort_edges(d_loc, s_loc, n)
             src_perms[p] = perm
             col_ptrs[p] = native.build_row_ptr(s_sorted, n)
+            src_cscs[p] = s_sorted
+            dst_cscs[p] = d_loc[perm]
         graph = dataclasses.replace(
             graph,
             row_ptr=jnp.asarray(row_ptrs),
             src_perm=jnp.asarray(src_perms),
             col_ptr=jnp.asarray(col_ptrs),
+            src_csc=jnp.asarray(src_cscs),
+            dst_csc=jnp.asarray(dst_cscs),
             chunk_hint=None,
         )
     else:
         graph = dataclasses.replace(
-            graph, chunk_hint=None, src_perm=None, col_ptr=None
+            graph, chunk_hint=None, src_perm=None, col_ptr=None,
+            src_csc=None, dst_csc=None,
         )
     spec = graph_shard_spec(axis, kernel_structure)
     return jax.tree.map(

@@ -180,14 +180,17 @@ def test_segment_sum_by_src_matches_xla():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("bwd_mode", ["csc_gather", "payload_permute"])
 @pytest.mark.parametrize("n_agg,n,p", [(1, 100, 0.1), (2, 150, 0.08), (3, 257, 0.05)])
-def test_fused_edge_program_fwd_bwd_matches_xla(n_agg, n, p):
+def test_fused_edge_program_fwd_bwd_matches_xla(n_agg, n, p, bwd_mode, monkeypatch):
     """fused_mma_edge_program (fully in-kernel fwd + fused bwd kernel)
     matches a pure-XLA restatement for value and all three gradients,
     including padding edges and a sigmoid/identity mixed lane pattern."""
     import jax
+    from mma_tpu.ops.pallas import fused_mma
     from mma_tpu.ops.pallas.fused_mma import fused_mma_edge_program
 
+    monkeypatch.setattr(fused_mma, "EDGE_BWD_MODE", bwd_mode)
     _, _, g = random_symmetric_graph(n, p=p, seed=11 + n_agg)
     rs = np.random.RandomState(n_agg)
     f = 32
