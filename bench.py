@@ -108,16 +108,25 @@ def bench_node_mma_train(graph, n_feat, aggregators, seed=0):
 
     rs = np.random.RandomState(seed)
     h = jnp.asarray(rs.randn(graph.n_node, n_feat).astype(np.float32))
-    layer = MMALayer(in_features=n_feat, out_features=n_feat, aggregators=aggregators)
-    params = layer.init(jax.random.PRNGKey(0))
     opt = optax.adam(1e-3)
-    opt_state = opt.init(params)
     n_edges = int(np.asarray(graph.num_edges))
 
     res = {}
-    for name, use_pallas in (("xla", False), ("pallas", True)):
+    paths = (
+        ("xla", False, "float32"),
+        ("pallas", True, "float32"),
+        ("pallas-bf16", True, "bfloat16"),
+    )
+    for name, use_pallas, dtype in paths:
+        layer = MMALayer(
+            in_features=n_feat, out_features=n_feat, aggregators=aggregators,
+            compute_dtype=dtype,
+        )
+        params = layer.init(jax.random.PRNGKey(0))
+        opt_state = opt.init(params)
+
         @jax.jit
-        def step(p, o, x, up=use_pallas):
+        def step(p, o, x, up=use_pallas, layer=layer):
             def loss(pp):
                 out = layer.apply(pp, x, graph, use_pallas=up)
                 return jnp.sum(jnp.where(graph.node_mask[:, None], out, 0.0) ** 2)
