@@ -98,11 +98,16 @@ class ZincNet:
         rng: Optional[jax.Array] = None,
         parity_eval_dropout: bool = False,
         use_pallas: bool = False,
+        axis_name: Optional[str] = None,
     ):
         """Per-graph predictions ``(G,)`` plus updated BatchNorm state.
 
         Message dropout follows N2 (always-on in the reference): active
         when ``training`` or ``parity_eval_dropout`` with an rng given.
+        ``axis_name``: edges of ``batch.graph`` are sharded along that
+        mesh axis (inside ``shard_map``); the convs' partial reductions
+        are combined across it. Node-level stages (BatchNorm, pooling,
+        MLP) see replicated node arrays and need no collectives.
         """
         g = batch.graph
         x = self.node_emb.apply(params["node_emb"], batch.node_feat.reshape(-1))
@@ -113,7 +118,8 @@ class ZincNet:
 
         def conv_fn(p, x, e, rng):
             return self.conv.apply(
-                p, x, g, edge_attr=e, rng=rng, use_pallas=use_pallas
+                p, x, g, edge_attr=e, rng=rng, use_pallas=use_pallas,
+                axis_name=axis_name,
             )
 
         if self.remat:

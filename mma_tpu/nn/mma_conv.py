@@ -198,8 +198,16 @@ class MultiMaskConv:
 
     # ---- aggregation ---------------------------------------------------
 
-    def _reduce(self, name, msgs, graph: Graph, deg, use_pallas=False):
-        """One scatter-reduce over flat edges → (N, T·F); empties → 0."""
+    def _reduce(self, name, msgs, graph: Graph, deg, use_pallas=False,
+                axis_name=None):
+        """One scatter-reduce over flat edges → (N, T·F); empties → 0.
+
+        ``axis_name``: inside ``shard_map`` with edges partitioned along
+        that mesh axis, local partials combine across devices with the
+        reduction's own monoid (psum for sum/mean/var/std, pmax/pmin for
+        max/min) before degree normalization — node arrays (``deg``) are
+        replicated, so the combined result equals the unsharded one.
+        """
         n = graph.n_node
         valid = graph.edge_mask[:, None]
 
@@ -208,18 +216,30 @@ class MultiMaskConv:
             if use_pallas:
                 from mma_tpu.ops.pallas.fused_mma import fused_segment_sum
 
-                return fused_segment_sum(x, graph)
-            return segment_sum(x, graph.dst, n)
+                r = fused_segment_sum(x, graph)
+            else:
+                r = segment_sum(x, graph.dst, n)
+            return jax.lax.psum(r, axis_name) if axis_name else r
 
         if name == "sum":
             return ssum(msgs)
         if name == "mean":
             return ssum(msgs) / deg  # deg pre-clamped ≥1; empty segments → 0
+        def cross_shard(r, reducer):
+            # pmax/pmin have no transpose rule; all_gather + local reduce
+            # is the differentiable formulation (its VJP routes the
+            # cotangent back to the arg-max/min shard via psum_scatter).
+            if not axis_name:
+                return r
+            return reducer(jax.lax.all_gather(r, axis_name), axis=0)
+
         if name == "max":
             r = segment_max(jnp.where(valid, msgs, -jnp.inf), graph.dst, n)
+            r = cross_shard(r, jnp.max)
             return jnp.where(graph.deg[:, None] > 0, r, 0.0)
         if name == "min":
             r = segment_min(jnp.where(valid, msgs, jnp.inf), graph.dst, n)
+            r = cross_shard(r, jnp.min)
             return jnp.where(graph.deg[:, None] > 0, r, 0.0)
         if name in ("var", "std"):
             mean, mean_sq = ssum(msgs) / deg, ssum(msgs * msgs) / deg
@@ -269,12 +289,15 @@ class MultiMaskConv:
         *,
         rng: Optional[jax.Array] = None,
         use_pallas: bool = False,
+        axis_name: Optional[str] = None,
     ) -> jnp.ndarray:
         """x: (N, in_channels) → (N, out_channels).
 
         ``rng`` enables the always-on message dropout (N2); pass ``None``
         for deterministic output. ``use_pallas`` routes the sum-family
-        segment reductions through the fused kernel.
+        segment reductions through the fused kernel. ``axis_name``
+        combines edge-sharded partial reductions across that mesh axis
+        (see ``_reduce``).
         """
         n = x.shape[0]
         t, f = self.towers, self.f_in
@@ -313,7 +336,8 @@ class MultiMaskConv:
 
         # reds[k]: (N, T·F); scaled[s][k]: (N, T·F).
         reds = [
-            self._reduce(a, per_agg[a], graph, deg, use_pallas=use_pallas)
+            self._reduce(a, per_agg[a], graph, deg, use_pallas=use_pallas,
+                         axis_name=axis_name)
             for a in self.aggregators
         ]
         scaled = [self._scale(r, deg) for r in reds]  # [k][s] → transpose below

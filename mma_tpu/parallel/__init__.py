@@ -11,6 +11,11 @@ from mma_tpu.parallel.data_parallel import (
     shard_stacked_batch,
     make_dp_train_step,
 )
+from mma_tpu.parallel.dp_edge import (
+    shard_batches_dp_edge,
+    make_dp_edge_forward,
+    make_dp_edge_train_step,
+)
 from mma_tpu.parallel.node_sharded import (
     NodeShardedGraph,
     build_node_sharded,
@@ -29,6 +34,9 @@ __all__ = [
     "stack_batches",
     "shard_stacked_batch",
     "make_dp_train_step",
+    "shard_batches_dp_edge",
+    "make_dp_edge_forward",
+    "make_dp_edge_train_step",
     "NodeShardedGraph",
     "build_node_sharded",
     "make_node_sharded_forward",
