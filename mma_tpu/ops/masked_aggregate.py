@@ -104,6 +104,7 @@ def masked_multi_aggregate(
     mask_dropout_rate: float = 0.0,
     rng: Optional[jax.Array] = None,
     use_pallas: bool = False,
+    pallas_bwd_mode: Optional[str] = None,
     axis_name: Optional[str] = None,
     compute_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
@@ -144,7 +145,9 @@ def masked_multi_aggregate(
 
         pat = _sigmoid_lane_pattern(specs, activation, parity, f)
         c, d = mma_mask_projections(h_c, mask_weights.astype(compute_dtype))
-        s = fused_mma_edge_program(c, d, h_c, pat, graph, k)
+        s = fused_mma_edge_program(
+            c, d, h_c, pat, graph, k, bwd_mode=pallas_bwd_mode
+        )
         msgs = None
     else:
         logits = mma_mask_logits(h_c, mask_weights.astype(compute_dtype), graph)

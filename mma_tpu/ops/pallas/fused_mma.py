@@ -44,7 +44,8 @@ from mma_tpu.graph.container import Graph
 
 _PASSES = {"fastest": 1, "high": 2, "highest": 3}
 
-# Src-keyed backward strategy for the fused edge program:
+# Default src-keyed backward strategy for the fused edge program
+# (overridable per call via ``fused_mma_edge_program(..., bwd_mode=…)``):
 # "csc_gather" gathers [ct ‖ c] node rows straight into CSC edge order and
 # recomputes the mask chain in the CSC kernel (no edge permute);
 # "payload_permute" emits the per-edge payload from the dst pass and
@@ -58,7 +59,20 @@ EDGE_BWD_MODE = "payload_permute"
 
 
 def _step_maps(starts, ends, num_blocks, total_steps, block_b):
-    """Scalar-prefetch arrays mapping flat step → (row block, chunk)."""
+    """Scalar-prefetch arrays mapping flat step → (row block, chunk).
+
+    INVARIANT (load-bearing): the per-step *data chunk index* produced by
+    ``_chunk_index_fn`` over these maps is monotone non-decreasing across
+    the flattened step sequence — row blocks are visited in ascending
+    order, each block's chunks ascend from ``starts[b] // block_b``, and
+    ``starts[b+1] // block_b ≥`` the previous block's last chunk (edges
+    are dst-sorted, so block edge ranges are ordered); empty-block filler
+    steps clip into the preceding chunk. The payload-emitting backward
+    kernel relies on this: when two consecutive row blocks share a chunk,
+    the second block's first step reads back the chunk rows the first
+    block wrote (Pallas keeps the revisited output block VMEM-resident
+    precisely because the chunk index did not move backwards).
+    """
     counts = jnp.maximum(
         (ends + block_b - 1) // block_b - starts // block_b, 1
     ).astype(jnp.int32)
@@ -789,8 +803,14 @@ def fused_mma_edge_program(
     n_agg: int,
     *,
     precision: str = "high",
+    bwd_mode: "str | None" = None,
 ) -> jnp.ndarray:
     """Full MMA edge program with Pallas forward *and* backward.
+
+    ``bwd_mode`` selects the src-keyed backward strategy
+    (``"payload_permute"`` / ``"csc_gather"``, see ``EDGE_BWD_MODE``);
+    ``None`` takes the module default. It is resolved here, inside the
+    traced call, so the choice is part of the jitted signature.
 
     ``S[i] = Σ_{e: dst=i} act(c[dst_e] + d[src_e]) ⊙ tile(h[src_e], K)``
     with ``c``/``d`` the per-node mask projections (N, K·F) and ``h``
@@ -814,6 +834,9 @@ def fused_mma_edge_program(
     ckf = c.shape[1]
     f = ckf // n_agg
     assert d.shape == c.shape and h.shape[1] == f
+    if bwd_mode is None:
+        bwd_mode = EDGE_BWD_MODE
+    assert bwd_mode in ("payload_permute", "csc_gather"), bwd_mode
     passes = _PASSES[precision]
     interpret = jax.devices()[0].platform != "tpu"
     pat2d = sig_pattern.astype(jnp.float32).reshape(1, ckf)
@@ -843,7 +866,7 @@ def fused_mma_edge_program(
             [dh_src], graph.dst, e, graph.n_node, BLOCK_B
         )
         n_real = graph.num_edges.astype(jnp.int32).reshape(1)
-        csc = graph.dst_csc is not None and EDGE_BWD_MODE == "csc_gather"
+        csc = graph.dst_csc is not None and bwd_mode == "csc_gather"
         dc, payload = _fused_program_bwd(
             c_.astype(jnp.float32), ct.astype(jnp.float32), dh_p, pat2d,
             dst, graph.row_ptr, n_real,

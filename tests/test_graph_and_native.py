@@ -182,15 +182,12 @@ def test_segment_sum_by_src_matches_xla():
 
 @pytest.mark.parametrize("bwd_mode", ["csc_gather", "payload_permute"])
 @pytest.mark.parametrize("n_agg,n,p", [(1, 100, 0.1), (2, 150, 0.08), (3, 257, 0.05)])
-def test_fused_edge_program_fwd_bwd_matches_xla(n_agg, n, p, bwd_mode, monkeypatch):
+def test_fused_edge_program_fwd_bwd_matches_xla(n_agg, n, p, bwd_mode):
     """fused_mma_edge_program (fully in-kernel fwd + fused bwd kernel)
     matches a pure-XLA restatement for value and all three gradients,
     including padding edges and a sigmoid/identity mixed lane pattern."""
     import jax
-    from mma_tpu.ops.pallas import fused_mma
     from mma_tpu.ops.pallas.fused_mma import fused_mma_edge_program
-
-    monkeypatch.setattr(fused_mma, "EDGE_BWD_MODE", bwd_mode)
     _, _, g = random_symmetric_graph(n, p=p, seed=11 + n_agg)
     rs = np.random.RandomState(n_agg)
     f = 32
@@ -213,7 +210,9 @@ def test_fused_edge_program_fwd_bwd_matches_xla(n_agg, n, p, bwd_mode, monkeypat
         )
 
     def fused(c, d, h):
-        return fused_mma_edge_program(c, d, h, pat, g, n_agg, precision="highest")
+        return fused_mma_edge_program(
+            c, d, h, pat, g, n_agg, precision="highest", bwd_mode=bwd_mode
+        )
 
     want = xla_ref(c, d, h)
     got = fused(c, d, h)
