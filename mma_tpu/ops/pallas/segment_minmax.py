@@ -1,0 +1,284 @@
+"""Pallas TPU kernel: sorted segmented min/max over CSR row blocks.
+
+The reference reaches segmented min/max through ``torch_scatter.scatter``
+with ``reduce='min'/'max'`` (``graph_regression/mma_conv.py:166-172``) —
+the ZINC flagship config is ``--aggregators min,max``
+(``/root/reference/README.md:79``). XLA lowers ``segment_min/max`` to a
+generic scatter, which serializes on TPU. min/max have no MXU
+formulation (unlike the sum family's one-hot contraction), so this
+kernel uses the ordering invariant instead:
+
+- edges are **dst-sorted**, so each output row's edges are one contiguous
+  run; a segmented inclusive scan (Hillis–Steele doubling: combine with
+  the value ``2^k`` sublanes above iff both sublanes share a dst) leaves
+  each run's last element holding the run's min/max. The doubling-scan
+  shortcut — test only the endpoints' ids, not the whole interval — is
+  valid *because* ids are monotone;
+- ``scan_steps`` caps the doubling at the graph's max in-degree
+  (``ceil(log2(min(max_deg, block_b)))``): molecule graphs (deg ≤ ~6)
+  need 3 steps instead of ``log2(block_b)`` = 10;
+- each row's per-chunk partial sits at a *known position* (the row's
+  last in-chunk edge, from the CSR row pointers), so extraction is a
+  one-hot MXU contraction with exactly one hit per row — values ride
+  through a 3-term bf16 split (~1e-7 relative; min/max never
+  re-associate, so this is also the path's only error source);
+- partials combine across a row block's chunks with min/max in the
+  VMEM-resident output block, exactly like the sum kernel's ``+=``.
+
+min and max run in ONE pass over the data (shared shifts and masks) —
+the ZINC parity semantics (N6) feed *the same* message tensor to every
+aggregator, so ``ops=("min","max")`` halves the edge traffic vs two
+kernel launches.
+
+Grid/prefetch machinery is shared with ``fused_mma`` (same flattened
+step sequence, same chunk-index monotonicity invariant).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mma_tpu.constants import BLOCK_B, BLOCK_R
+from mma_tpu.graph.container import Graph
+from mma_tpu.ops.pallas.fused_mma import (
+    _PASSES,
+    _grid_and_prefetch,
+    _pad_edges,
+)
+
+_NEUTRAL = {"min": jnp.inf, "max": -jnp.inf}
+
+
+def _select_last(onehot_f32, x, passes):
+    """``out[r] = x[pos_r]`` as ``onehotᵀ (B, R) @ x (B, C)`` with the
+    data operand bf16-split. At most one hit per row, so the contraction
+    is a pure selection (no accumulation error beyond the split
+    residual, ≤ ~1e-7 relative at 3 passes); rows with no hit come
+    back 0 and are replaced by the caller."""
+    acc = jnp.zeros((onehot_f32.shape[1], x.shape[1]), jnp.float32)
+    d = x
+    for _ in range(passes):
+        hi = d.astype(jnp.bfloat16).astype(jnp.float32)
+        acc += jax.lax.dot_general(
+            onehot_f32, hi, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d = d - hi
+    return acc
+
+
+def _shift_down(x, sh, fill):
+    """x shifted ``sh`` sublanes toward higher indices; head ← fill.
+
+    Non-circular (unlike roll) so no wraparound masking is needed."""
+    head = jnp.full((sh,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([head, x[: x.shape[0] - sh]], axis=0)
+
+
+def _minmax_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref,
+                   rs_ref, re_ref, data_ref, out_ref, *,
+                   block_b, scan_steps, ops, passes):
+    i = pl.program_id(0)
+    r = bstep_ref[i]
+    c = cstep_ref[i]
+    start, end = starts_ref[r], ends_ref[r]
+    num_chunks = pl.cdiv(end, block_b) - start // block_b
+    ch = data_ref.shape[1]
+
+    @pl.when(c == 0)
+    def _():
+        for pi, op in enumerate(ops):
+            out_ref[:, pi * ch : (pi + 1) * ch] = jnp.full(
+                (out_ref.shape[0], ch), _NEUTRAL[op], jnp.float32
+            )
+
+    @pl.when((start < end) & (c < num_chunks))
+    def _():
+        g = start // block_b + c
+        chunk_lo = g * block_b
+        chunk_hi = chunk_lo + block_b
+
+        rs = rs_ref[:].astype(jnp.int32)  # (1, R) row starts
+        re = re_ref[:].astype(jnp.int32)  # (1, R) row ends
+        pos = chunk_lo + jax.lax.broadcasted_iota(jnp.int32, (block_b, 1), 0)
+
+        # Per-edge local row id: #(row starts ≤ pos) − 1; uncovered
+        # sublanes (outside this block's edge range) get the sentinel −1
+        # so they never merge with a covered run.
+        cnt = jnp.sum((pos >= rs).astype(jnp.int32), axis=1, keepdims=True)
+        covered = (pos >= start) & (pos < end)
+        ids = jnp.where(covered, cnt - 1, -1)  # (B, 1)
+
+        x = data_ref[:].astype(jnp.float32)  # (B, C)
+        accs = {op: x for op in ops}
+        for k in range(scan_steps):
+            sh = 1 << k
+            if sh >= block_b:
+                break
+            ids_sh = _shift_down(ids, sh, jnp.int32(-7))
+            same = ids == ids_sh  # (B, 1); monotone ids ⇒ endpoint test ok
+            if "min" in accs:
+                lo = _shift_down(accs["min"], sh, jnp.inf)
+                accs["min"] = jnp.where(same, jnp.minimum(accs["min"], lo), accs["min"])
+            if "max" in accs:
+                hi = _shift_down(accs["max"], sh, -jnp.inf)
+                accs["max"] = jnp.where(same, jnp.maximum(accs["max"], hi), accs["max"])
+
+        # Each intersecting nonempty row's partial sits at its last
+        # in-chunk edge: min(row_end, chunk_hi) − 1. One-hot built in
+        # (B, R) orientation — no lane↔sublane relayouts.
+        valid_r = (re > rs) & (rs < chunk_hi) & (re > chunk_lo)  # (1, R)
+        pos_r = jnp.minimum(re, chunk_hi) - 1  # (1, R) absolute position
+        onehot = ((pos == pos_r) & valid_r).astype(jnp.float32)  # (B, R)
+        # Per-row hit indicator in (R, 1) orientation via the same
+        # contraction (0/1 exact in bf16, single pass).
+        hits = jax.lax.dot_general(
+            onehot, jnp.ones((block_b, 1), jnp.float32),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # (R, 1)
+
+        for pi, op in enumerate(ops):
+            sel = _select_last(onehot, accs[op], passes)
+            contrib = jnp.where(hits > 0.5, sel, _NEUTRAL[op])
+            cur = out_ref[:, pi * ch : (pi + 1) * ch]
+            comb = jnp.minimum if op == "min" else jnp.maximum
+            out_ref[:, pi * ch : (pi + 1) * ch] = comb(cur, contrib)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_r", "block_b", "interpret", "passes", "ops",
+                     "scan_steps"),
+)
+def _fused_segment_minmax(data, row_ptr, *, block_r, block_b, interpret,
+                          passes, ops, scan_steps):
+    e_pad, ch = data.shape
+    assert e_pad % block_b == 0, (e_pad, block_b)
+    (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
+     ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
+
+    # Per-block row-pointer slices (row starts / row ends), padded past n
+    # with empty rows at e_pad so valid_r is False for them.
+    n_rows = int(num_blocks) * block_r
+    rp_pad = jnp.pad(row_ptr, (0, n_rows + 1 - row_ptr.shape[0]),
+                     constant_values=e_pad)
+    rs2d = rp_pad[:n_rows].reshape(num_blocks, block_r)
+    re2d = rp_pad[1 : n_rows + 1].reshape(num_blocks, block_r)
+
+    def chunk_index(i, bstep, cstep, s, e):
+        g = s[bstep[i]] // block_b + cstep[i]
+        return jnp.clip(g, 0, num_chunks - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(total_steps,),
+        in_specs=[
+            pl.BlockSpec((1, block_r), lambda i, b, c, s, e: (b[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_r), lambda i, b, c, s, e: (b[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_b, ch),
+                lambda i, b, c, s, e: (chunk_index(i, b, c, s, e), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_r, len(ops) * ch), lambda i, b, c, s, e: (b[i], 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _minmax_kernel, block_b=block_b, scan_steps=scan_steps,
+            ops=ops, passes=passes,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, len(ops) * ch), jnp.float32),
+        interpret=interpret,
+    )(block_of, chunk_of, starts, ends, rs2d, re2d, data)[:n]
+
+
+def _scan_steps_for(graph: Graph, max_run, block_b) -> int:
+    cap = block_b if max_run is None else min(int(max_run), block_b)
+    steps = 0
+    while (1 << steps) < cap:
+        steps += 1
+    return steps
+
+
+def fused_segment_minmax(
+    data: jnp.ndarray,
+    graph: Graph,
+    ops: tuple = ("min", "max"),
+    *,
+    max_run: "int | None" = None,
+    block_r: int = BLOCK_R,
+    block_b: int = BLOCK_B,
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """Segmented min/max of ``data`` (E, C) over ``graph.dst`` → (N, P·C).
+
+    ``ops`` ⊆ {"min", "max"}; output lanes ``[p·C, (p+1)·C)`` hold op
+    ``p``'s reduction. Both ops share one pass over the edge data. Empty
+    rows yield the op's neutral element (±inf) — callers select them
+    away by degree (the conv layers do ``where(deg > 0, ·, 0)``).
+    Padding edges contribute only to their own (padding-node) row.
+
+    ``max_run``: static upper bound on any node's in-degree; caps the
+    scan at ``ceil(log2(min(max_run, block_b)))`` doubling steps. Wrong
+    (too small) values give wrong results — callers derive it from
+    dataset metadata (ZINC: 8) or leave None (full ``log2(block_b)``).
+
+    Differentiable: the VJP routes each op's cotangent to the edges whose
+    value equals the segment optimum, split equally among ties (a valid
+    subgradient; XLA's segment_min/max VJP makes the same choice).
+    """
+    e, ch = data.shape
+    assert e == graph.n_edge, (data.shape, graph.n_edge)
+    assert all(o in ("min", "max") for o in ops) and len(ops) >= 1
+    passes = 1 if data.dtype == jnp.bfloat16 else _PASSES[precision]
+    scan_steps = _scan_steps_for(graph, max_run, block_b)
+    interpret = jax.devices()[0].platform != "tpu"
+
+    def _run(d):
+        (d,), _ = _pad_edges([d], graph.dst, e, graph.n_node, block_b)
+        return _fused_segment_minmax(
+            d, graph.row_ptr, block_r=block_r, block_b=block_b,
+            interpret=interpret, passes=passes, ops=ops,
+            scan_steps=scan_steps,
+        )
+
+    @jax.custom_vjp
+    def _op(d):
+        return _run(d)
+
+    def _fwd(d):
+        out = _run(d)
+        return out, (d, out)
+
+    def _bwd(res, ct):
+        d, out = res
+        out_e = out[graph.dst]  # (E, P·C)
+        ct_e = ct[graph.dst]
+        df = d.astype(jnp.float32)
+        grad = jnp.zeros_like(df)
+        for pi, _ in enumerate(ops):
+            sl = slice(pi * ch, (pi + 1) * ch)
+            hit = (df == out_e[:, sl]) & graph.edge_mask[:, None]
+            nties = jax.ops.segment_sum(
+                hit.astype(jnp.float32), graph.dst,
+                num_segments=graph.n_node, indices_are_sorted=True,
+            )[graph.dst]
+            grad = grad + jnp.where(
+                hit, ct_e[:, sl] / jnp.maximum(nties, 1.0), 0.0
+            )
+        return (grad.astype(d.dtype),)
+
+    _op.defvjp(_fwd, _bwd)
+    return _op(data)

@@ -1,0 +1,106 @@
+"""Fused Pallas segmented min/max vs the XLA segment ops.
+
+min/max reductions never re-associate, so the parity gate here is tight
+(≤1e-6 — SURVEY §7 calls this out; the only error source is the 3-term
+bf16 split in the selection contraction, ~1e-7 relative). Gradients are
+checked against XLA's segment_min/max VJP on continuous data (ties are
+measure-zero) and against an explicit equal-split oracle on tied data.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mma_tpu.ops.pallas.segment_minmax import fused_segment_minmax
+
+from helpers import random_symmetric_graph
+
+
+def _xla_minmax(data, g, ops):
+    cols = []
+    for op in ops:
+        neutral = jnp.inf if op == "min" else -jnp.inf
+        fn = jax.ops.segment_min if op == "min" else jax.ops.segment_max
+        cols.append(
+            fn(
+                jnp.where(g.edge_mask[:, None], data, neutral),
+                g.dst, num_segments=g.n_node, indices_are_sorted=True,
+            )
+        )
+    return jnp.concatenate(cols, axis=1)
+
+
+@pytest.mark.parametrize(
+    "n,p,seed,ops",
+    [
+        (50, 0.10, 0, ("min", "max")),
+        (300, 0.03, 1, ("min", "max")),
+        (7, 0.50, 2, ("max",)),
+        (1000, 0.004, 3, ("min",)),
+    ],
+)
+def test_minmax_matches_xla(n, p, seed, ops):
+    _, _, g = random_symmetric_graph(n, p=p, seed=seed)
+    rs = np.random.RandomState(seed)
+    c = 128
+    data = jnp.asarray(rs.randn(g.n_edge, c).astype(np.float32))
+    out = np.asarray(fused_segment_minmax(data, g, ops))
+    want = np.asarray(_xla_minmax(data, g, ops))
+    sel = np.asarray(g.node_mask) & (np.asarray(g.deg) > 0)
+    np.testing.assert_allclose(out[sel], want[sel], rtol=1e-6, atol=1e-6)
+    # Empty real rows hold the op's neutral element.
+    empty = np.asarray(g.node_mask) & ~(np.asarray(g.deg) > 0)
+    for pi, op in enumerate(ops):
+        neutral = np.inf if op == "min" else -np.inf
+        assert np.all(out[empty, pi * c : (pi + 1) * c] == neutral)
+
+
+def test_minmax_grad_matches_xla():
+    _, _, g = random_symmetric_graph(120, p=0.06, seed=5)
+    rs = np.random.RandomState(5)
+    c = 128
+    data = jnp.asarray(rs.randn(g.n_edge, c).astype(np.float32))
+    ct = jnp.asarray(rs.randn(g.n_node, 2 * c).astype(np.float32))
+    sel = (g.node_mask & (g.deg > 0))[:, None]
+
+    def loss(fn, d):
+        return jnp.sum(jnp.where(sel, fn(d), 0.0) * ct)
+
+    gf = jax.grad(lambda d: loss(lambda x: fused_segment_minmax(x, g, ("min", "max")), d))(data)
+    gx = jax.grad(lambda d: loss(lambda x: _xla_minmax(x, g, ("min", "max")), d))(data)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=1e-5, atol=1e-5)
+
+
+def test_minmax_grad_splits_ties_equally():
+    """On tied data the VJP distributes the cotangent equally among the
+    tied edges (a valid subgradient whose components sum to the
+    cotangent — required for cross-path loss-gradient consistency)."""
+    _, _, g = random_symmetric_graph(40, p=0.15, seed=7)
+    data = jnp.ones((g.n_edge, 8))  # every edge ties
+    ct = jnp.ones((g.n_node, 8))
+    sel = (g.node_mask & (g.deg > 0))[:, None]
+
+    grad = jax.grad(
+        lambda d: jnp.sum(
+            jnp.where(sel, fused_segment_minmax(d, g, ("max",)), 0.0) * ct
+        )
+    )(data)
+    deg = np.asarray(g.deg)[np.asarray(g.dst)]
+    em = np.asarray(g.edge_mask)
+    want = np.where(em[:, None], 1.0 / np.maximum(deg, 1.0)[:, None], 0.0)
+    want = np.broadcast_to(want, grad.shape)
+    np.testing.assert_allclose(np.asarray(grad), want, rtol=1e-6, atol=1e-6)
+
+
+def test_minmax_max_run_cap():
+    """Capping the scan at the true max degree changes nothing on real
+    rows (the padding node's run may exceed the cap; its row is masked)."""
+    _, _, g = random_symmetric_graph(200, p=0.02, seed=9)
+    maxdeg = int(np.asarray(g.deg).max())
+    rs = np.random.RandomState(9)
+    data = jnp.asarray(rs.randn(g.n_edge, 128).astype(np.float32))
+    a = np.asarray(fused_segment_minmax(data, g, ("min", "max")))
+    b = np.asarray(fused_segment_minmax(data, g, ("min", "max"), max_run=maxdeg))
+    nm = np.asarray(g.node_mask)
+    np.testing.assert_array_equal(a[nm], b[nm])
