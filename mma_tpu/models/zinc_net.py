@@ -39,6 +39,9 @@ class ZincNet:
     # Rematerialize each conv layer in the backward pass (trade FLOPs for
     # activation memory — lets edge budgets grow several× per chip).
     remat: bool = False
+    # Static max in-degree bound (ZINC-subset ≤ 4; 8 gives headroom) —
+    # caps the fused min/max kernel's scan depth. None = safe default.
+    max_degree_hint: Optional[int] = None
 
     @property
     def node_emb(self):
@@ -62,6 +65,7 @@ class ZincNet:
             post_layers=self.post_layers,
             divide_input=False,
             parity=self.parity,
+            max_degree_hint=self.max_degree_hint,
         )
 
     @property

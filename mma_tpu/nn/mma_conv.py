@@ -93,6 +93,10 @@ class MultiMaskConv:
     divide_input: bool = False
     dropout_rate: float = 0.5  # hardcoded in the reference (mma_conv.py:67)
     parity: bool = True
+    # Static upper bound on node in-degree (dataset metadata; ZINC ≤ 8).
+    # Caps the fused min/max kernel's scan depth — see
+    # ``fused_segment_minmax``. None = no cap (always safe).
+    max_degree_hint: Optional[int] = None
 
     def __post_init__(self):
         for a in self.aggregators:
@@ -233,13 +237,18 @@ class MultiMaskConv:
                 return r
             return reducer(jax.lax.all_gather(r, axis_name), axis=0)
 
-        if name == "max":
-            r = segment_max(jnp.where(valid, msgs, -jnp.inf), graph.dst, n)
-            r = cross_shard(r, jnp.max)
-            return jnp.where(graph.deg[:, None] > 0, r, 0.0)
-        if name == "min":
-            r = segment_min(jnp.where(valid, msgs, jnp.inf), graph.dst, n)
-            r = cross_shard(r, jnp.min)
+        if name in ("max", "min"):
+            if use_pallas and axis_name is None:
+                from mma_tpu.ops.pallas.segment_minmax import fused_segment_minmax
+
+                r = fused_segment_minmax(
+                    msgs, graph, (name,), max_run=self.max_degree_hint
+                )
+            else:
+                neutral = -jnp.inf if name == "max" else jnp.inf
+                fn = segment_max if name == "max" else segment_min
+                r = fn(jnp.where(valid, msgs, neutral), graph.dst, n)
+                r = cross_shard(r, jnp.max if name == "max" else jnp.min)
             return jnp.where(graph.deg[:, None] > 0, r, 0.0)
         if name in ("var", "std"):
             mean, mean_sq = ssum(msgs) / deg, ssum(msgs * msgs) / deg
@@ -248,6 +257,40 @@ class MultiMaskConv:
                 out = jnp.sqrt(jax.nn.relu(out) + 1e-5)
             return out
         raise ValueError(f'Unknown aggregator "{name}".')
+
+    def _reduce_all(self, per_agg, graph: Graph, deg, use_pallas, axis_name):
+        """All K reduces; min+max sharing one message tensor (parity
+        mode shares messages across aggregators — N6) run as ONE fused
+        Pallas pass over the edge data (``ops=("min","max")``)."""
+        paired = {}
+        if use_pallas and axis_name is None:
+            by_msgs = {}
+            for a in self.aggregators:
+                if a in ("min", "max"):
+                    by_msgs.setdefault(id(per_agg[a]), []).append(a)
+            for key, names in by_msgs.items():
+                if len(names) < 2:
+                    continue
+                from mma_tpu.ops.pallas.segment_minmax import (
+                    fused_segment_minmax,
+                )
+
+                msgs = per_agg[names[0]]
+                ops = tuple(names)
+                fused = fused_segment_minmax(
+                    msgs, graph, ops, max_run=self.max_degree_hint
+                )
+                c = msgs.shape[1]
+                for pi, a in enumerate(ops):
+                    r = fused[:, pi * c : (pi + 1) * c]
+                    paired[a] = jnp.where(graph.deg[:, None] > 0, r, 0.0)
+        return [
+            paired[a] if a in paired else self._reduce(
+                a, per_agg[a], graph, deg, use_pallas=use_pallas,
+                axis_name=axis_name,
+            )
+            for a in self.aggregators
+        ]
 
     def _scale(self, agg, deg):
         """Scaler stage → (N, T, S·K·F); parity compounds (N9)."""
@@ -335,11 +378,7 @@ class MultiMaskConv:
                 per_agg[a] = dropout(rngs[ki] if rngs is not None else None, m, self.dropout_rate)
 
         # reds[k]: (N, T·F); scaled[s][k]: (N, T·F).
-        reds = [
-            self._reduce(a, per_agg[a], graph, deg, use_pallas=use_pallas,
-                         axis_name=axis_name)
-            for a in self.aggregators
-        ]
+        reds = self._reduce_all(per_agg, graph, deg, use_pallas, axis_name)
         scaled = [self._scale(r, deg) for r in reds]  # [k][s] → transpose below
 
         # Reassemble the reference's per-tower feature order

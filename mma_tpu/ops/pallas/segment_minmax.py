@@ -103,8 +103,8 @@ def _minmax_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref,
         chunk_lo = g * block_b
         chunk_hi = chunk_lo + block_b
 
-        rs = rs_ref[:].astype(jnp.int32)  # (1, R) row starts
-        re = re_ref[:].astype(jnp.int32)  # (1, R) row ends
+        rs = rs_ref[0]  # (1, R) row starts
+        re = re_ref[0]  # (1, R) row ends
         pos = chunk_lo + jax.lax.broadcasted_iota(jnp.int32, (block_b, 1), 0)
 
         # Per-edge local row id: #(row starts ≤ pos) − 1; uncovered
@@ -167,8 +167,10 @@ def _fused_segment_minmax(data, row_ptr, *, block_r, block_b, interpret,
     n_rows = int(num_blocks) * block_r
     rp_pad = jnp.pad(row_ptr, (0, n_rows + 1 - row_ptr.shape[0]),
                      constant_values=e_pad)
-    rs2d = rp_pad[:n_rows].reshape(num_blocks, block_r)
-    re2d = rp_pad[1 : n_rows + 1].reshape(num_blocks, block_r)
+    # (num_blocks, 1, R) so the (1, 1, R) blocks match the trailing
+    # array dims (TPU block-shape constraint).
+    rs2d = rp_pad[:n_rows].reshape(num_blocks, 1, block_r)
+    re2d = rp_pad[1 : n_rows + 1].reshape(num_blocks, 1, block_r)
 
     def chunk_index(i, bstep, cstep, s, e):
         g = s[bstep[i]] // block_b + cstep[i]
@@ -178,9 +180,9 @@ def _fused_segment_minmax(data, row_ptr, *, block_r, block_b, interpret,
         num_scalar_prefetch=4,
         grid=(total_steps,),
         in_specs=[
-            pl.BlockSpec((1, block_r), lambda i, b, c, s, e: (b[i], 0),
+            pl.BlockSpec((1, 1, block_r), lambda i, b, c, s, e: (b[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_r), lambda i, b, c, s, e: (b[i], 0),
+            pl.BlockSpec((1, 1, block_r), lambda i, b, c, s, e: (b[i], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (block_b, ch),

@@ -225,3 +225,33 @@ def test_remat_matches_non_remat():
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("parity", [True, False])
+def test_conv_pallas_matches_xla_minmax(parity):
+    """The fused Pallas min/max path (README.md:79 flagship aggregators)
+    matches the XLA path — value and parameter/input gradients. min/max
+    never re-associate, so the gate is tight (the only kernel error
+    source is the 3-term bf16 selection split, ~1e-7 relative)."""
+    _, _, graph = random_symmetric_graph(60, p=0.08, seed=3)
+    conv, params, _ = _conv_and_params(
+        ("min", "max"), ("identity", "amplification", "linear"), parity
+    )
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(graph.n_node, F).astype(np.float32))
+    e = jnp.asarray(rs.randn(graph.n_edge, EDGE_DIM).astype(np.float32))
+    ct = jnp.asarray(rs.randn(graph.n_node, F).astype(np.float32))
+
+    def loss(p, x_, up):
+        out = conv.apply(p, x_, graph, edge_attr=e, use_pallas=up)
+        return jnp.sum(jnp.where(graph.node_mask[:, None], out, 0.0) * ct)
+
+    vx, gx = jax.value_and_grad(loss, argnums=(0, 1))(params, x, False)
+    vp, gp = jax.value_and_grad(loss, argnums=(0, 1))(params, x, True)
+    np.testing.assert_allclose(float(vp), float(vx), rtol=1e-6)
+    flat_x, _ = jax.tree_util.tree_flatten(gx)
+    flat_p, _ = jax.tree_util.tree_flatten(gp)
+    for a_, b_ in zip(flat_p, flat_x):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), rtol=1e-5, atol=1e-6
+        )
