@@ -175,8 +175,7 @@ def masked_multi_aggregate(
 
     deg = jnp.maximum(graph.deg, 1.0)[:, None]  # (N, 1), clamped
     outs = []
-    need_moments = any(sp.combine in ("std", "moment_3") for sp in specs)
-    if need_moments:
+    if any(sp.combine == "std" for sp in specs):
         msgs_sq = jnp.where(graph.edge_mask[:, None], msgs * msgs, 0.0)
         s2 = segment_sum(msgs_sq.astype(jnp.float32), graph.dst, n, sorted=True)
         if axis_name is not None:
@@ -201,16 +200,23 @@ def masked_multi_aggregate(
         elif sp.combine == "normalized_mean":
             out = sk * jax.lax.rsqrt(deg)
         elif sp.combine == "moment_3":
+            # Two-pass central moment: E[(x − μ)³] directly. The one-pass
+            # raw-moment form (E[x³] − 3·E[x]·E[x²] + 2·E[x]³) cancels
+            # catastrophically — degree-1 nodes have m3 ≡ 0 analytically,
+            # and the cube root amplifies the f32 residue to ~1e-2.
             mean = sk / deg
-            mean_sq = s2[:, idx, :] / deg
             msgs_k = msgs[:, idx * f : (idx + 1) * f]
-            msgs_cu = jnp.where(graph.edge_mask[:, None], msgs_k**3, 0.0)
-            s3 = segment_sum(msgs_cu, graph.dst, n, sorted=True)
+            cent = jnp.where(
+                graph.edge_mask[:, None], (msgs_k - mean[graph.dst]) ** 3, 0.0
+            )
+            s3 = segment_sum(cent, graph.dst, n, sorted=True)
             if axis_name is not None:
                 s3 = jax.lax.psum(s3, axis_name)
-            mean_cu = s3 / deg
-            m3 = mean_cu - 3.0 * mean * mean_sq + 2.0 * mean**3
-            out = jnp.sign(m3) * (jnp.abs(m3) + _EPS) ** (1.0 / 3.0)
+            m3 = s3 / deg
+            # Signed cube root, continuous at 0: m3·(m3²+ε)^(-1/3) equals
+            # cbrt(m3) for |m3| ≫ ε and is linear (not ±ε^(1/3)) at m3≈0 —
+            # sign(m3)·(|m3|+ε)^(1/3) jumps by 2·ε^(1/3) on rounding noise.
+            out = m3 * (m3 * m3 + _EPS) ** (-1.0 / 3.0)
         else:
             raise ValueError(f"unknown combine {sp.combine!r}")
         outs.append(out)

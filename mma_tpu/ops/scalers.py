@@ -52,6 +52,7 @@ def apply_scalers(
     scalers: Sequence[str] = SCALER_NAMES,
     *,
     parity: bool = True,
+    avg_log_deg: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Sum of scaled copies of ``m`` (shape ``(N, ...)``).
 
@@ -61,11 +62,16 @@ def apply_scalers(
     un-tiled weight — so this op returns ``Σ_s scale_s ⊙ m`` directly.
 
     ``parity=True`` replicates N3: every scale ≡ 1 ⇒ ``len(scalers) · m``.
+
+    ``avg_log_deg``: the *global* mean of ``log(deg+1)`` over real nodes.
+    Defaults to computing it from ``deg``/``node_mask`` — callers whose
+    node arrays are sharded (node-sharded regime) must pass the
+    psum-combined global value instead.
     """
     if parity:
         return float(len(scalers)) * m
     total = jnp.zeros_like(m)
     for name in scalers:
-        fac = scaler_factors(name, deg, node_mask)
+        fac = scaler_factors(name, deg, node_mask, avg_log_deg)
         total = total + fac.reshape((-1,) + (1,) * (m.ndim - 1)) * m
     return total

@@ -1,4 +1,4 @@
-"""Node-sharded execution with halo exchange — the large-graph regime.
+"""Node-sharded execution with overlapped halo exchange — the large-graph regime.
 
 ``edge_parallel`` replicates node features and shards edges; that caps
 out when ``(N, F)`` no longer fits a chip. Here the *nodes* are sharded:
@@ -11,24 +11,31 @@ out when ``(N, F)`` no longer fits a chip. Here the *nodes* are sharded:
 - messages need source-node values owned by other devices — the *halo*.
   Host-side preprocessing computes, per device pair (q → p), the exact
   rows q must send p; at run time one ``all_to_all`` inside ``shard_map``
-  moves only those boundary rows (not an all-gather), and local edges
-  index an extended table ``[local rows ‖ halo rows]`` via precomputed
-  indices;
+  moves only those boundary rows (not an all-gather);
+- **exchange/compute overlap** (SURVEY §5.7 "overlapped", the GNN analog
+  of ring attention): local edges are split host-side into *interior*
+  edges (source owned locally) and *boundary* edges (source in the halo).
+  The interior segment-reduce depends only on local values, so XLA's
+  latency-hiding scheduler runs the ``all_to_all`` concurrently with it
+  (collective-start before the interior reduce, collective-done just
+  before the boundary reduce). Boundary edges are a compact side list
+  (``bnd_*``), so the split costs no extra passes over interior data;
 - every propagation step reuses the same halo structure with different
   payload widths: the GCN layer exchanges ``x@W0`` (hidden-wide, not the
   raw features), the MMA layer exchanges ``[d-projection ‖ h]`` once for
   the masked aggregation and the final projection once for its SpMM.
 
 Gradients flow through ``all_to_all`` automatically (its transpose is the
-reverse exchange), so training is exact — verified against the
-unsharded model in tests.
+reverse exchange), so training is exact — ``make_node_sharded_train_step``
+is the full training regime (per-shard dropout rngs, optimizer update),
+verified against the unsharded model in tests.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -38,6 +45,8 @@ from jax.experimental.shard_map import shard_map
 
 from mma_tpu.graph import native
 from mma_tpu.graph.container import Graph
+
+_EPS = 1e-5  # matches ops.masked_aggregate._EPS
 
 
 def _dataclass_pytree(cls):
@@ -58,9 +67,13 @@ class NodeShardedGraph:
     """Per-shard graph structure, stacked along a leading shard axis S.
 
     Shapes: ``S`` shards, ``N_m`` max local rows, ``E_m`` max local
-    edges, ``H_m`` max halo rows per (sender, receiver) pair. Edge
-    sources index the extended value table ``[N_m local ‖ S·H_m halo]``
-    (halo slot of sender q, position j ↦ ``N_m + q·H_m + j``).
+    edges, ``H_m`` max halo rows per (sender, receiver) pair, ``B_m``
+    max boundary edges. Edge sources index the extended value table
+    ``[N_m local ‖ S·H_m halo]`` (halo slot of sender q, position j ↦
+    ``N_m + q·H_m + j``). Boundary edges (source remote) additionally
+    appear in the compact ``bnd_*`` side list — ``bnd_halo`` indexes the
+    flat halo buffer directly (``q·H_m + j``) — so the interior reduce
+    (which never reads the halo) and the exchange can overlap.
     """
 
     ext_src: jnp.ndarray  # (S, E_m) int32 — src as extended-table index
@@ -71,6 +84,9 @@ class NodeShardedGraph:
     global_ids: jnp.ndarray  # (S, N_m) int32 — local row → global id (pad -1)
     send_idx: jnp.ndarray  # (S, S, H_m) int32 — local rows shard p sends to q
     send_mask: jnp.ndarray  # (S, S, H_m) bool
+    bnd_halo: jnp.ndarray  # (S, B_m) int32 — boundary edge → halo-flat row
+    bnd_dst: jnp.ndarray  # (S, B_m) int32 — boundary edge dst (local, sorted)
+    bnd_mask: jnp.ndarray  # (S, B_m) bool
 
 
 _dataclass_pytree(NodeShardedGraph)
@@ -117,6 +133,10 @@ def build_node_sharded(graph: Graph, num_shards: int) -> Tuple[NodeShardedGraph,
         for p in range(num_shards)
     )
     h_m = max(((h_m + 7) // 8) * 8, 8)
+    b_m = max(
+        int((owner[ps[2]] != p).sum()) for p, ps in enumerate(per_shard)
+    )
+    b_m = max(((b_m + 127) // 128) * 128, 128)
 
     ext_src = np.zeros((num_shards, e_m), np.int32)
     dst_local = np.full((num_shards, e_m), n_m - 1, np.int32)
@@ -126,6 +146,9 @@ def build_node_sharded(graph: Graph, num_shards: int) -> Tuple[NodeShardedGraph,
     global_ids = np.full((num_shards, n_m), -1, np.int32)
     send_idx = np.zeros((num_shards, num_shards, h_m), np.int32)
     send_mask = np.zeros((num_shards, num_shards, h_m), bool)
+    bnd_halo = np.zeros((num_shards, b_m), np.int32)
+    bnd_dst = np.full((num_shards, b_m), n_m - 1, np.int32)
+    bnd_mask = np.zeros((num_shards, b_m), bool)
 
     # halo slot lookup: for receiver p, sender q, global id s → slot pos.
     slot_of = [dict() for _ in range(num_shards)]
@@ -151,6 +174,7 @@ def build_node_sharded(graph: Graph, num_shards: int) -> Tuple[NodeShardedGraph,
         dst_local[p, :k] = d_p - lo
         edge_mask[p, :k] = True
         ext = np.empty(k, np.int32)
+        remote = owner[s_p] != p
         for i, s in enumerate(s_p):
             q = owner[s]
             if q == p:
@@ -158,6 +182,11 @@ def build_node_sharded(graph: Graph, num_shards: int) -> Tuple[NodeShardedGraph,
             else:
                 ext[i] = n_m + q * h_m + slot_of[p][(int(q), int(s))]
         ext_src[p, :k] = ext
+        # Boundary side list (dst-sorted: extracted in edge order).
+        nb = int(remote.sum())
+        bnd_halo[p, :nb] = ext[remote] - n_m
+        bnd_dst[p, :nb] = d_p[remote] - lo
+        bnd_mask[p, :nb] = True
 
     return (
         NodeShardedGraph(
@@ -169,13 +198,17 @@ def build_node_sharded(graph: Graph, num_shards: int) -> Tuple[NodeShardedGraph,
             global_ids=jnp.asarray(global_ids),
             send_idx=jnp.asarray(send_idx),
             send_mask=jnp.asarray(send_mask),
+            bnd_halo=jnp.asarray(bnd_halo),
+            bnd_dst=jnp.asarray(bnd_dst),
+            bnd_mask=jnp.asarray(bnd_mask),
         ),
         np.asarray(cuts),
     )
 
 
 def shard_spec(axis: str) -> NodeShardedGraph:
-    return NodeShardedGraph(*([P(axis)] * 8))
+    n_fields = len(dataclasses.fields(NodeShardedGraph))
+    return NodeShardedGraph(*([P(axis)] * n_fields))
 
 
 def place_on_mesh(sharded: NodeShardedGraph, mesh: Mesh, axis: str = "node"):
@@ -195,18 +228,20 @@ def shard_node_values(values: np.ndarray, cuts: np.ndarray, n_m: int):
 
 
 def halo_exchange(values_local: jnp.ndarray, sg: NodeShardedGraph, axis: str):
-    """Extended value table for this shard: ``[local ‖ halo]``.
+    """Flat halo buffer ``(S·H_m, F)`` received by this shard.
 
     ``values_local``: (N_m, F) this shard's rows (inside shard_map).
-    One ``all_to_all`` moves exactly the precomputed boundary rows.
+    One ``all_to_all`` moves exactly the precomputed boundary rows. Only
+    the boundary reduce consumes the result, so XLA schedules the
+    collective concurrently with the interior reduce (async
+    collective-start/done on TPU).
     """
     send_idx = sg.send_idx  # (S, H_m) — this shard's row lists per receiver
     send_mask = sg.send_mask
     buf = values_local[send_idx]  # (S, H_m, F)
     buf = jnp.where(send_mask[..., None], buf, 0.0)
     recv = jax.lax.all_to_all(buf, axis, split_axis=0, concat_axis=0, tiled=False)
-    halo_flat = recv.reshape(-1, values_local.shape[-1])  # (S·H_m, F)
-    return jnp.concatenate([values_local, halo_flat], axis=0)
+    return recv.reshape(-1, values_local.shape[-1])  # (S·H_m, F)
 
 
 def _local_segment_sum(data, dst_local, n_m):
@@ -214,14 +249,43 @@ def _local_segment_sum(data, dst_local, n_m):
                                indices_are_sorted=True)
 
 
-def make_node_sharded_forward(model, mesh: Mesh, axis: str = "node"):
-    """Edge-balanced node-sharded forward of a NodeClassifier.
+def _interior_gather(values_local: jnp.ndarray, sg: NodeShardedGraph):
+    """Per-edge source values for interior edges; boundary/padding → 0.
 
-    Returns ``fwd(params, x_shards, sg) -> logp_shards`` with params
-    replicated, ``x_shards`` (S, N_m, F_in) and outputs (S, N_m, C)
-    sharded along ``axis``. Deterministic (dropout off) — the training
-    wrapper adds rngs.
+    Appends one zero row to the local table and routes every edge whose
+    source is remote (or padding) to it — no halo dependence."""
+    n_m = values_local.shape[0]
+    vz = jnp.concatenate(
+        [values_local, jnp.zeros((1, values_local.shape[1]), values_local.dtype)]
+    )
+    is_int = (sg.ext_src < n_m) & sg.edge_mask
+    idx = jnp.where(is_int, sg.ext_src, n_m)
+    return vz[idx], is_int
+
+
+def halo_spmm(values_local: jnp.ndarray, sg: NodeShardedGraph, axis: str):
+    """``(A @ values)`` restricted to this shard's rows, halo-overlapped.
+
+    Interior edges reduce local values (no halo dependence); boundary
+    edges reduce the exchanged halo rows via the compact side list."""
+    n_m = values_local.shape[0]
+    halo = halo_exchange(values_local, sg, axis)
+    vals_int, _ = _interior_gather(values_local, sg)
+    out = _local_segment_sum(vals_int, sg.dst_local, n_m)
+    bvals = jnp.where(sg.bnd_mask[:, None], halo[sg.bnd_halo], 0.0)
+    return out + _local_segment_sum(bvals, sg.bnd_dst, n_m)
+
+
+def _mma_local_forward(model, params, x_local, sg: NodeShardedGraph, axis: str,
+                       rng: Optional[jax.Array] = None,
+                       training: bool = False):
+    """One shard's NodeClassifier forward (inside shard_map).
+
+    ``rng``: per-shard key (already fold_in'ed with the shard index by the
+    caller); enables the between-layer feature dropout (training only)
+    and the always-on mask dropout (N2) like the unsharded model.
     """
+    from mma_tpu.nn.layers import dropout
     from mma_tpu.ops.masked_aggregate import (
         _sigmoid_lane_pattern,
         mma_mask_projections,
@@ -231,60 +295,127 @@ def make_node_sharded_forward(model, mesh: Mesh, axis: str = "node"):
     mma = model.mma
     specs = mma.specs
     k = len(specs)
+    n_m = x_local.shape[0]
+    f_hid = model.n_hidden
 
-    def forward_local(params, x_local, sg):
-        n_m = x_local.shape[0]
-        f_hid = model.n_hidden
-        valid_e = sg.edge_mask[:, None]
+    feat_rng = mask_rng = None
+    if rng is not None:
+        feat_rng, mask_rng = jax.random.split(rng)
 
-        # --- gc1: support halo + SpMM + bias + relu -------------------
-        support = x_local @ params["gc1"]["w"]  # (N_m, H)
-        ext = halo_exchange(support, sg, axis)
-        h = _local_segment_sum(
-            jnp.where(valid_e, ext[sg.ext_src], 0.0), sg.dst_local, n_m
-        ) + params["gc1"]["b"]
-        h = jax.nn.relu(h)
+    # --- gc1: support halo + SpMM + bias + relu (+ dropout) -----------
+    support = x_local @ params["gc1"]["w"]  # (N_m, H)
+    h = jax.nn.relu(halo_spmm(support, sg, axis) + params["gc1"]["b"])
+    h = dropout(feat_rng if training else None, h, model.dropout_rate)
 
-        # --- MMA masked aggregation ----------------------------------
-        c, d = mma_mask_projections(h, params["mma"]["masks"])  # (N_m, K·F)
-        ext_dh = halo_exchange(jnp.concatenate([d, h], axis=1), sg, axis)
-        d_src = ext_dh[sg.ext_src, : k * f_hid]
-        h_src = ext_dh[sg.ext_src, k * f_hid :]
-        logits = c[sg.dst_local] + d_src
-        pat = _sigmoid_lane_pattern(specs, mma.activation, mma.parity, f_hid)
+    # --- MMA masked aggregation (interior ‖ boundary, overlapped) -----
+    c, d = mma_mask_projections(h, params["mma"]["masks"])  # (N_m, K·F)
+    dh = jnp.concatenate([d, h], axis=1)
+    halo_dh = halo_exchange(dh, sg, axis)
+    pat = _sigmoid_lane_pattern(specs, mma.activation, mma.parity, f_hid)
+    need_m2 = any(sp.combine == "std" for sp in specs)
+    need_m3 = any(sp.combine == "moment_3" for sp in specs)
+
+    def edge_msgs(dh_rows, dst_idx, valid, drop_key):
+        logits = c[dst_idx] + dh_rows[:, : k * f_hid]
         mask = jnp.where(pat[None, :], jax.nn.sigmoid(logits), logits)
-        msgs = mask * jnp.tile(h_src, (1, k))
-        msgs = jnp.where(valid_e, msgs, 0.0)
-        s = _local_segment_sum(msgs, sg.dst_local, n_m).reshape(n_m, k, f_hid)
+        if drop_key is not None and mma.mask_dropout > 0.0:
+            keep = jax.random.bernoulli(
+                drop_key, 1.0 - mma.mask_dropout, mask.shape
+            )
+            mask = jnp.where(keep, mask / (1.0 - mma.mask_dropout), 0.0)
+        msgs = mask * jnp.tile(dh_rows[:, k * f_hid :], (1, k))
+        return jnp.where(valid[:, None], msgs, 0.0)
 
-        deg = jnp.maximum(sg.deg, 1.0)[:, None]
-        outs = []
-        for idx, sp in enumerate(specs):
-            sk = s[:, idx, :]
-            if sp.combine == "sum":
-                outs.append(h + sk)
-            elif sp.combine == "mean":
-                outs.append((h + sk) / deg)
-            elif sp.combine == "max":
-                outs.append(jnp.maximum(h, sk))
-            elif sp.combine == "min":
-                outs.append(jnp.minimum(h, sk))
-            elif sp.combine == "passthrough":
-                outs.append(sk)
-            else:
-                raise NotImplementedError(sp.combine)
-        msum = sum(outs)
-        scaled = apply_scalers(
-            msum, sg.deg, sg.node_mask, mma.scalers, parity=mma.parity
+    int_key = bnd_key = None
+    if mask_rng is not None:
+        int_key, bnd_key = jax.random.split(mask_rng)
+    dh_int, is_int = _interior_gather(dh, sg)
+    m_int = edge_msgs(dh_int, sg.dst_local, is_int, int_key)
+    dh_bnd = halo_dh[sg.bnd_halo]
+    m_bnd = edge_msgs(dh_bnd, sg.bnd_dst, sg.bnd_mask, bnd_key)
+
+    def both_sums(fi, fb):
+        return (
+            _local_segment_sum(fi, sg.dst_local, n_m)
+            + _local_segment_sum(fb, sg.bnd_dst, n_m)
+        ).reshape(n_m, k, f_hid)
+
+    s = both_sums(m_int, m_bnd)
+    s2 = both_sums(m_int * m_int, m_bnd * m_bnd) if need_m2 else None
+    s3 = None
+    if need_m3:
+        # Two-pass central moment (matches masked_multi_aggregate): cube
+        # the *centered* messages — the raw-moment form cancels
+        # catastrophically for low-degree nodes.
+        mean_flat = (s / jnp.maximum(sg.deg, 1.0)[:, None, None]).reshape(
+            n_m, k * f_hid
         )
+        c_int = jnp.where(
+            is_int[:, None], (m_int - mean_flat[sg.dst_local]) ** 3, 0.0
+        )
+        c_bnd = jnp.where(
+            sg.bnd_mask[:, None], (m_bnd - mean_flat[sg.bnd_dst]) ** 3, 0.0
+        )
+        s3 = both_sums(c_int, c_bnd)
 
-        # --- MMA final SpMM ------------------------------------------
-        support2 = scaled @ params["mma"]["w"]  # (N_m, C)
-        ext2 = halo_exchange(support2, sg, axis)
-        out = _local_segment_sum(
-            jnp.where(valid_e, ext2[sg.ext_src], 0.0), sg.dst_local, n_m
-        ) + params["mma"]["b"]
-        return jax.nn.log_softmax(out, axis=-1)
+    deg = jnp.maximum(sg.deg, 1.0)[:, None]
+    outs = []
+    for idx, sp in enumerate(specs):
+        sk = s[:, idx, :]
+        if sp.combine == "sum":
+            out = h + sk
+        elif sp.combine == "mean":
+            out = (h + sk) / deg
+        elif sp.combine == "max":
+            out = jnp.maximum(h, sk)
+        elif sp.combine == "min":
+            out = jnp.minimum(h, sk)
+        elif sp.combine == "passthrough":
+            out = sk
+        elif sp.combine == "std":
+            mean, mean_sq = sk / deg, s2[:, idx, :] / deg
+            out = jnp.sqrt(jax.nn.relu(mean_sq - mean * mean) + _EPS)
+        elif sp.combine == "normalized_mean":
+            out = sk * jax.lax.rsqrt(deg)
+        elif sp.combine == "moment_3":
+            m3 = s3[:, idx, :] / deg
+            # continuous signed cube root — see masked_multi_aggregate
+            out = m3 * (m3 * m3 + _EPS) ** (-1.0 / 3.0)
+        else:
+            raise ValueError(f"unknown combine {sp.combine!r}")
+        outs.append(out)
+    msum = sum(outs)
+    # Fixed-mode scalers normalize by the GLOBAL mean log-degree — psum
+    # the local sums (parity mode never reads it).
+    avg_log_deg = None
+    if not mma.parity:
+        log_deg = jnp.log(sg.deg + 1.0)
+        lsum = jax.lax.psum(
+            jnp.sum(jnp.where(sg.node_mask, log_deg, 0.0)), axis
+        )
+        lcnt = jax.lax.psum(
+            jnp.sum(sg.node_mask.astype(jnp.float32)), axis
+        )
+        avg_log_deg = lsum / jnp.maximum(lcnt, 1.0)
+    scaled = apply_scalers(
+        msum, sg.deg, sg.node_mask, mma.scalers, parity=mma.parity,
+        avg_log_deg=avg_log_deg,
+    )
+
+    # --- MMA final SpMM ------------------------------------------------
+    support2 = scaled @ params["mma"]["w"]  # (N_m, C)
+    out = halo_spmm(support2, sg, axis) + params["mma"]["b"]
+    return jax.nn.log_softmax(out, axis=-1)
+
+
+def make_node_sharded_forward(model, mesh: Mesh, axis: str = "node"):
+    """Edge-balanced node-sharded forward of a NodeClassifier.
+
+    Returns ``fwd(params, x_shards, sg) -> logp_shards`` with params
+    replicated, ``x_shards`` (S, N_m, F_in) and outputs (S, N_m, C)
+    sharded along ``axis``. Deterministic (dropout off) — use
+    :func:`make_node_sharded_train_step` for training.
+    """
 
     @functools.partial(
         shard_map,
@@ -294,8 +425,68 @@ def make_node_sharded_forward(model, mesh: Mesh, axis: str = "node"):
         check_rep=False,
     )
     def fwd(params, x_shards, sg):
-        local = jax.tree.map(lambda v: v[0], (x_shards, sg))
-        x_local, sg_local = local
-        return forward_local(params, x_local, sg_local)[None]
+        x_local, sg_local = jax.tree.map(lambda v: v[0], (x_shards, sg))
+        return _mma_local_forward(model, params, x_local, sg_local, axis)[None]
 
     return fwd
+
+
+def make_node_sharded_train_step(
+    model, opt, mesh: Mesh, axis: str = "node", dropout: bool = True
+):
+    """Full training step in the node-sharded regime.
+
+    Returns ``step(params, opt_state, x_shards, sg, labels_shards,
+    train_mask_shards, rng) -> (params, opt_state, loss)``. Semantics
+    match the unsharded loop (``train/loops.py``): NLL over the training
+    nodes, between-layer feature dropout and N2 mask dropout driven by
+    per-shard rngs (``fold_in`` of the shard index — dropout *patterns*
+    differ from the unsharded run, as any two rng partitions do; with
+    ``dropout=False`` gradients match the unsharded step exactly, which
+    is the tested gate). Params are replicated; ``shard_map``'s transpose
+    psums their cotangents, so gradients are the exact global gradients.
+    """
+    import optax
+
+    rng_spec = (P(),) if dropout else ()
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), shard_spec(axis), P(axis), P(axis)) + rng_spec,
+        out_specs=P(),
+        check_rep=False,
+    )
+    def mean_nll(params, x_shards, sg, labels_shards, tmask_shards, *rng):
+        x_local, sg_local, labels, tmask = jax.tree.map(
+            lambda v: v[0], (x_shards, sg, labels_shards, tmask_shards)
+        )
+        local_rng = (
+            jax.random.fold_in(rng[0], jax.lax.axis_index(axis))
+            if dropout
+            else None
+        )
+        logp = _mma_local_forward(
+            model, params, x_local, sg_local, axis,
+            rng=local_rng, training=True,
+        )
+        pick = jnp.take_along_axis(
+            logp, labels.astype(jnp.int32)[:, None], axis=-1
+        )[:, 0]
+        lsum = jax.lax.psum(jnp.sum(jnp.where(tmask, pick, 0.0)), axis)
+        lcnt = jax.lax.psum(jnp.sum(tmask.astype(jnp.float32)), axis)
+        return -lsum / jnp.maximum(lcnt, 1.0)
+
+    @jax.jit
+    def step(params, opt_state, x_shards, sg, labels_shards, tmask_shards,
+             rng=None):
+        rng_args = (rng,) if dropout else ()
+        loss, grads = jax.value_and_grad(
+            lambda p: mean_nll(
+                p, x_shards, sg, labels_shards, tmask_shards, *rng_args
+            )
+        )(params)
+        updates, new_opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt_state, loss
+
+    return step

@@ -242,3 +242,134 @@ def test_edge_sharded_pallas_kernel_structure(setup):
     g2 = jax.grad(sharded_loss)(params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-2, atol=5e-2)
+
+
+def test_node_sharded_train_step_matches_unsharded(setup):
+    """make_node_sharded_train_step (dropout off) ≡ the unsharded full-batch
+    step: identical loss and post-step parameters (VERDICT #3 gate)."""
+    import optax
+    from mma_tpu.parallel.node_sharded import (
+        build_node_sharded,
+        make_node_sharded_train_step,
+        place_on_mesh,
+        shard_node_values,
+    )
+
+    graph, x, model, params = setup
+    rs = np.random.RandomState(7)
+    labels_np = rs.randint(0, 4, N)
+    tmask_np = np.zeros(N, bool)
+    tmask_np[rs.choice(N, 30, replace=False)] = True
+    opt = make_optimizer(learning_rate=0.01, weight_decay=5e-4)
+
+    # --- unsharded reference step ---
+    labels_full = jnp.asarray(labels_np)
+    tmask_full = jnp.asarray(tmask_np)
+
+    def loss_fn(p):
+        logp = model.apply(p, x, graph, training=True)
+        pick = jnp.take_along_axis(logp[:N], labels_full[:, None], axis=-1)[:, 0]
+        return -jnp.sum(jnp.where(tmask_full, pick, 0.0)) / tmask_np.sum()
+
+    l_ref, g_ref = jax.value_and_grad(loss_fn)(params)
+    opt_state = opt.init(params)
+    up, _ = opt.update(g_ref, opt_state, params)
+    p_ref = optax.apply_updates(params, up)
+
+    # --- node-sharded step ---
+    n_dev = 8
+    mesh = make_mesh(("node",))
+    sg, cuts = build_node_sharded(graph, n_dev)
+    n_m = sg.node_mask.shape[1]
+    x_shards = shard_node_values(np.asarray(x)[:N], cuts, n_m)
+    labels_sh = shard_node_values(labels_np.reshape(-1, 1), cuts, n_m)[..., 0]
+    tmask_sh = shard_node_values(tmask_np.reshape(-1, 1), cuts, n_m)[..., 0]
+    sg_m = place_on_mesh(sg, mesh, "node")
+    step = make_node_sharded_train_step(model, opt, mesh, "node", dropout=False)
+    p_new, _, l_sh = step(
+        params, opt.init(params), x_shards, sg_m, labels_sh, tmask_sh
+    )
+
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_new), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_node_sharded_training_with_dropout_learns(setup):
+    """The full regime: per-shard dropout rngs (feature + N2 mask dropout),
+    optimizer updates; loss decreases over steps."""
+    from mma_tpu.parallel.node_sharded import (
+        build_node_sharded,
+        make_node_sharded_train_step,
+        place_on_mesh,
+        shard_node_values,
+    )
+
+    graph, x, _, _ = setup
+    model = NodeClassifier(
+        n_feat=F_IN, n_hidden=HID, n_class=4,
+        aggregators=("mean", "max2", "min"), dropout_rate=0.3,
+    )
+    params = model.init(jax.random.PRNGKey(1))
+    rs = np.random.RandomState(9)
+    labels_np = rs.randint(0, 4, N)
+    tmask_np = np.ones(N, bool)
+    opt = make_optimizer(learning_rate=0.02, weight_decay=0.0)
+
+    mesh = make_mesh(("node",))
+    sg, cuts = build_node_sharded(graph, 8)
+    n_m = sg.node_mask.shape[1]
+    x_shards = shard_node_values(np.asarray(x)[:N], cuts, n_m)
+    labels_sh = shard_node_values(labels_np.reshape(-1, 1), cuts, n_m)[..., 0]
+    tmask_sh = shard_node_values(tmask_np.reshape(-1, 1), cuts, n_m)[..., 0]
+    sg_m = place_on_mesh(sg, mesh, "node")
+    step = make_node_sharded_train_step(model, opt, mesh, "node", dropout=True)
+
+    opt_state = opt.init(params)
+    rng = jax.random.PRNGKey(5)
+    losses = []
+    for i in range(30):
+        rng, k = jax.random.split(rng)
+        params, opt_state, loss = step(
+            params, opt_state, x_shards, sg_m, labels_sh, tmask_sh, k
+        )
+        losses.append(float(loss))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])
+
+
+def test_node_sharded_all_combines(setup):
+    """Every fixed-mode combine (std / normalized_mean / moment_3 included)
+    runs node-sharded and matches the unsharded forward — the
+    NotImplementedError of round 1 is gone."""
+    from mma_tpu.parallel.node_sharded import (
+        build_node_sharded,
+        make_node_sharded_forward,
+        place_on_mesh,
+        shard_node_values,
+    )
+
+    graph, x, _, _ = setup
+    model = NodeClassifier(
+        n_feat=F_IN, n_hidden=HID, n_class=4,
+        aggregators=("mean", "max", "std", "normalized_mean", "moment_3"),
+        dropout_rate=0.0, parity=False,
+    )
+    params = model.init(jax.random.PRNGKey(2))
+    want = np.asarray(model.apply(params, x, graph, training=False))
+
+    mesh = make_mesh(("node",))
+    sg, cuts = build_node_sharded(graph, 8)
+    n_m = sg.node_mask.shape[1]
+    x_shards = shard_node_values(np.asarray(x)[:N], cuts, n_m)
+    sg_m = place_on_mesh(sg, mesh, "node")
+    fwd = make_node_sharded_forward(model, mesh, "node")
+    got = np.asarray(fwd(params, x_shards, sg_m))
+    ids, mask = np.asarray(sg.global_ids), np.asarray(sg.node_mask)
+    for p in range(8):
+        np.testing.assert_allclose(
+            got[p][mask[p]], want[ids[p][mask[p]]], rtol=2e-4, atol=2e-4,
+            err_msg=f"shard {p}",
+        )
