@@ -23,10 +23,18 @@ Details go to stderr and BENCH_DETAILS.json.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Virtual CPU devices for the scaling sweep (must precede jax init).
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
 
 
 def log(*a):
@@ -143,34 +151,262 @@ def bench_node_mma_train(graph, n_feat, aggregators, seed=0):
     return res
 
 
-def bench_zinc_conv(batch_size=64, seed=0):
+def bench_zinc_conv(batch_size=1024, seed=0):
+    """Edges/s through the full ZincNet (4 MultiMaskConv layers, the
+    README.md:79 flagship config min,max) on a scale-realistic batch —
+    forward and training step, XLA vs fused-Pallas vs bf16 paths.
+
+    edges/s counts every conv layer's edge visit (E·L per forward)."""
     import jax
     import jax.numpy as jnp
+    import optax
 
     from mma_tpu.data import load_zinc
     from mma_tpu.models import ZincNet
     from mma_tpu.nn.mma_conv import compute_avg_deg
 
-    ds = load_zinc("val", subset_size=batch_size)
+    ds = load_zinc("train", subset_size=batch_size)
     avg = compute_avg_deg(jnp.asarray(ds.degree_histogram()), parity=True)
-    model = ZincNet(
-        aggregators=("min", "max"),
-        scalers=("identity", "amplification", "linear"),
-        avg_deg=tuple(avg.items()),
-        towers=5,
+    batch = next(
+        ds.batches(batch_size, n_node=batch_size * 40, n_edge=batch_size * 104)
+    )
+
+    res = {}
+    paths = (
+        ("xla", False, "float32"),
+        ("pallas", True, "float32"),
+        ("pallas-bf16", True, "bfloat16"),
+    )
+    opt = optax.adam(1e-3)
+    for name, use_pallas, dtype in paths:
+        model = ZincNet(
+            aggregators=("min", "max"),
+            scalers=("identity", "amplification", "linear"),
+            avg_deg=tuple(avg.items()),
+            towers=5,
+            max_degree_hint=8,
+            compute_dtype=dtype,
+        )
+        params = model.init(jax.random.PRNGKey(0))
+        state = model.init_state()
+        n_edges = int(np.asarray(batch.graph.num_edges)) * model.num_layers
+
+        def fwd(p, s, b, up=use_pallas, model=model):
+            pred, _ = model.apply(p, s, b, training=False, use_pallas=up)
+            return pred
+
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(p, o, s, b, up=use_pallas, model=model):
+            def loss(pp):
+                pred, s2 = model.apply(pp, s, b, training=True, use_pallas=up)
+                err = jnp.abs(pred - b.target.reshape(-1)) * b.graph_mask
+                return err.sum() / jnp.maximum(b.graph_mask.sum(), 1.0), s2
+
+            (l, s2), g = jax.value_and_grad(loss, has_aux=True)(p)
+            u, o2 = opt.update(g, o, p)
+            return optax.apply_updates(p, u), o2, s2
+
+        try:
+            dt = _time_fn(jax.jit(fwd), params, state, batch, iters=15)
+            res[name] = {"time_s": dt, "edges_per_s": n_edges / dt}
+            dt_t = _time_fn(step, params, opt_state, state, batch, iters=10)
+            res[name]["train"] = {"time_s": dt_t, "edges_per_s": n_edges / dt_t}
+        except Exception as e:
+            log(f"  zinc path {name} failed: {type(e).__name__}: {str(e)[:200]}")
+    return res
+
+
+def bench_scaling(n=65536, avg_deg=16, n_feat=64, aggregators=("mean", "mean2")):
+    """Edge-sharded MMA train-step throughput at N = 1, 2, 4, 8 shards —
+    the BASELINE "scaling efficiency 1→N" harness.
+
+    Uses every real device available; a single-accelerator environment
+    (this one: 1 TPU chip) falls back to the virtual 8-device CPU mesh,
+    which validates the sharded program end-to-end and measures the
+    collective/overhead *trend* — the table is then a one-liner to rerun
+    on a pod (`devices = jax.devices()`). Efficiency = edges/s at N over
+    N × edges/s at 1.
+    """
+    import jax
+    import optax
+
+    from mma_tpu.models import NodeClassifier
+    from mma_tpu.parallel import (
+        make_edge_sharded_train_step,
+        make_mesh,
+        shard_graph,
+    )
+    from mma_tpu.train import make_optimizer
+
+    devices = jax.devices()
+    platform = devices[0].platform
+    if len(devices) < 2:
+        devices = jax.devices("cpu")
+        platform = "cpu-virtual"
+        n = n // 8  # CPU mesh: keep the sweep minutes, not hours
+
+    import jax.numpy as jnp
+
+    graph = powerlaw_graph(n, avg_deg=avg_deg, seed=2)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(graph.n_node, n_feat).astype(np.float32))
+    labels = jnp.asarray(rs.randint(0, 16, graph.n_node))
+    model = NodeClassifier(
+        n_feat=n_feat, n_hidden=n_feat, n_class=16, aggregators=aggregators
     )
     params = model.init(jax.random.PRNGKey(0))
-    state = model.init_state()
-    batch = next(ds.batches(batch_size, n_node=batch_size * 40, n_edge=batch_size * 100))
-    n_edges = int(np.asarray(batch.graph.num_edges)) * model.num_layers
+    opt = make_optimizer(1e-3)
+    n_edges = int(np.asarray(graph.num_edges))
 
-    def fwd(p, s, b):
-        pred, _ = model.apply(p, s, b, training=False)
-        return pred
+    rows = {}
+    for num in (1, 2, 4, 8):
+        if num > len(devices):
+            break
+        mesh = make_mesh(("edge",), devices=devices[:num])
+        g_sh = shard_graph(graph, mesh, "edge")
+        step = make_edge_sharded_train_step(
+            model, opt, mesh, labels, jnp.arange(min(n, 1024)), "edge"
+        )
+        rng = jax.random.PRNGKey(1)
+        try:
+            dt = _time_fn(
+                lambda p, o: step(p, o, x, g_sh, rng),
+                params, opt.init(params), iters=5, warmup=1,
+            )
+        except Exception as e:
+            log(f"  scaling N={num} failed: {type(e).__name__}: {str(e)[:200]}")
+            continue
+        rows[num] = {"time_s": dt, "edges_per_s": n_edges / dt}
+    if 1 in rows:
+        base = rows[1]["edges_per_s"]
+        for num, r in rows.items():
+            r["efficiency"] = r["edges_per_s"] / (num * base)
+    out = {"platform": platform, "n_nodes": n, "n_edges": n_edges, "shards": rows}
+    if platform == "cpu-virtual":
+        out["note"] = (
+            "virtual CPU devices share the host's cores: efficiency here "
+            "validates the sharded program + measures collective overhead "
+            "only; pod efficiency requires real N-chip hardware"
+        )
+    return out
 
-    f = jax.jit(fwd)
-    dt = _time_fn(f, params, state, batch)
-    return {"time_s": dt, "edges_per_s": n_edges / dt}
+
+def bench_ogbn_sampled(
+    n=2_400_000, avg_deg=50, batch_size=1024, fanouts=(10, 10, 5),
+    n_batches=8, n_node_pad=573440, n_edge_pad=786432,
+):
+    """BASELINE config[4]: ogbn-products-scale synthetic power-law graph
+    (2.4M nodes / ~120M directed edges) trained with neighbor sampling —
+    DP over all available devices. Reports sampled-edges/s through the
+    training step (device) and through the full pipeline (host sampling
+    + device step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mma_tpu.data.sampling import NeighborSampler
+    from mma_tpu.models import NodeClassifier
+    from mma_tpu.parallel import make_mesh
+    from mma_tpu.train.optim import make_optimizer
+    from mma_tpu.train.sampled import make_sampled_dp_step
+
+    # Fast heavy-tailed edge generation: inverse-CDF zipf(0.5) endpoints.
+    rs = np.random.RandomState(3)
+    m = n * avg_deg // 2
+    t0 = time.perf_counter()
+    a = (rs.rand(m) ** 2 * n).astype(np.int64)  # P(i) ∝ i^-0.5
+    b = rs.randint(0, n, size=m)
+    keep = a != b
+    src = np.concatenate([a[keep], b[keep]]).astype(np.int32)
+    dst = np.concatenate([b[keep], a[keep]]).astype(np.int32)
+    sampler = NeighborSampler.from_host_arrays(src, dst, n, fanouts, seed=4)
+    t_build = time.perf_counter() - t0
+    log(f"  ogbn: built {len(src):,} directed edges + CSR in {t_build:.1f}s")
+
+    n_feat, n_class = 100, 47  # ogbn-products shapes
+    features = rs.randn(65536, n_feat).astype(np.float32)  # hashed feature rows
+    labels_tab = rs.randint(0, n_class, 65536)
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    if n_dev < 2:
+        cpus = jax.devices("cpu")
+        if len(cpus) >= 2 and devices[0].platform != "tpu":
+            devices, n_dev = cpus, len(cpus)
+        else:
+            n_dev = 1
+    model = NodeClassifier(
+        n_feat=n_feat, n_hidden=64, n_class=n_class,
+        aggregators=("mean", "mean2"), dropout_rate=0.5,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(3e-3)
+    opt_state = opt.init(params)
+
+    mesh = make_mesh(("data",), devices=devices[:n_dev])
+    step = make_sampled_dp_step(model, opt, mesh, "data")
+    rngs = jax.random.split(jax.random.PRNGKey(7), n_dev)
+
+    seeds_all = rs.randint(0, n, size=(n_batches + 1, n_dev, batch_size))
+    t_sample = t_step = 0.0
+    edges_dev = 0
+    loss = None
+    for bi in range(n_batches + 1):
+        t0 = time.perf_counter()
+        batches = [
+            sampler.sample(
+                seeds_all[bi, d], n_node_pad=n_node_pad, n_edge_pad=n_edge_pad
+            )
+            for d in range(n_dev)
+        ]
+        # Node features at ogbn scale: hash node id into a fixed feature
+        # table (structure, not semantics, drives the benchmark cost).
+        xs, ys, sms = [], [], []
+        for b in batches:
+            valid = b.node_ids >= 0
+            xa = np.zeros((b.graph.n_node, n_feat), np.float32)
+            xa[valid] = features[b.node_ids[valid] % len(features)]
+            ya = np.zeros(b.graph.n_node, np.int32)
+            ya[valid] = labels_tab[b.node_ids[valid] % len(labels_tab)]
+            sa = np.zeros(b.graph.n_node, np.float32)
+            sa[: b.num_seeds] = 1.0
+            xs.append(xa), ys.append(ya), sms.append(sa)
+        import dataclasses as _dc
+
+        graphs = [
+            _dc.replace(b.graph, chunk_hint=None, src_perm=None, col_ptr=None,
+                        src_csc=None, dst_csc=None)
+            for b in batches
+        ]
+        graph = jax.tree.map(lambda *v: jnp.stack(v, 0), *graphs)
+        x = jnp.asarray(np.stack(xs))
+        y = jnp.asarray(np.stack(ys))
+        sm = jnp.asarray(np.stack(sms))
+        dt_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        params, opt_state, loss = step(params, opt_state, x, graph, y, sm, rngs)
+        jax.block_until_ready(loss)
+        dt_d = time.perf_counter() - t0
+        if bi == 0:
+            continue  # warmup/compile
+        t_sample += dt_s
+        t_step += dt_d
+        edges_dev += sum(int(np.asarray(b.graph.num_edges)) for b in batches)
+
+    return {
+        "n_nodes": n,
+        "n_edges_directed": int(len(src)),
+        "devices": n_dev,
+        "batch_size": batch_size,
+        "fanouts": list(fanouts),
+        "final_loss": float(loss),
+        "sampled_edges_per_s_device": edges_dev / t_step,
+        "sampled_edges_per_s_pipeline": edges_dev / (t_step + t_sample),
+        "host_sampling_s_per_batch": t_sample / n_batches,
+        "device_step_s_per_batch": t_step / n_batches,
+    }
 
 
 def main():
@@ -198,6 +434,16 @@ def main():
     log("synthetic-large:", json.dumps(details["synthetic-large"]))
     details["synthetic-large-train"] = bench_node_mma_train(big, 64, ("mean", "mean2"))
     log("synthetic-large-train:", json.dumps(details["synthetic-large-train"]))
+
+    if os.environ.get("MMA_BENCH_SKIP_SCALING") != "1":
+        details["scaling"] = bench_scaling()
+        log("scaling:", json.dumps(details["scaling"]))
+    if os.environ.get("MMA_BENCH_SKIP_OGBN") != "1":
+        try:
+            details["ogbn-sampled"] = bench_ogbn_sampled(n_batches=3)
+            log("ogbn-sampled:", json.dumps(details["ogbn-sampled"]))
+        except Exception as e:
+            log(f"  ogbn-sampled failed: {type(e).__name__}: {str(e)[:300]}")
 
     head = details["synthetic-large"]
     best_name = max(head, key=lambda k: head[k]["edges_per_s"])

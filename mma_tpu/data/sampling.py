@@ -57,24 +57,79 @@ class NeighborSampler:
         self.src_sorted = self.src[order]
         self.true_deg = counts.astype(np.float32)
 
+    @classmethod
+    def from_host_arrays(cls, src: np.ndarray, dst: np.ndarray,
+                         num_nodes: int, fanouts: Sequence[int],
+                         seed: int = 0) -> "NeighborSampler":
+        """Build directly from host edge arrays (unsorted OK) — skips the
+        device :class:`Graph` round-trip; the native counting sort keeps
+        construction O(E+N) at ogbn scale (120M+ edges)."""
+        from mma_tpu.graph import native
+
+        self = cls.__new__(cls)
+        self.fanouts = tuple(fanouts)
+        self.rs = np.random.RandomState(seed)
+        src_s, dst_s, _ = native.sort_edges(src, dst, num_nodes)
+        self.src = src_s
+        self.dst = dst_s
+        self.num_nodes = int(num_nodes)
+        self.row_ptr = native.build_row_ptr(dst_s, num_nodes).astype(np.int64)
+        self.src_sorted = src_s
+        counts = np.diff(self.row_ptr)
+        self.true_deg = counts.astype(np.float32)
+        return self
+
+    @staticmethod
+    def _concat_ranges(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        """Vectorized ``concat([arange(s, s+l) for s, l in zip(...)])``."""
+        total = int(lengths.sum())
+        if total == 0:
+            return np.zeros(0, np.int64)
+        step = np.ones(total, np.int64)
+        step[0] = starts[0]
+        offs = np.cumsum(lengths)[:-1]
+        step[offs] = starts[1:] - (starts[:-1] + lengths[:-1]) + 1
+        return np.cumsum(step)
+
     def _sample_neighbors(self, nodes: np.ndarray, fanout: int
                           ) -> Tuple[np.ndarray, np.ndarray]:
-        srcs, dsts = [], []
-        for v in nodes:
-            lo, hi = self.row_ptr[v], self.row_ptr[v + 1]
-            deg = hi - lo
-            if deg == 0:
-                continue
-            if deg <= fanout:
-                nbrs = self.src_sorted[lo:hi]
-            else:
-                sel = self.rs.choice(deg, size=fanout, replace=False)
-                nbrs = self.src_sorted[lo + sel]
-            srcs.append(nbrs)
-            dsts.append(np.full(len(nbrs), v, np.int64))
-        if not srcs:
+        """Up to ``fanout`` uniform in-neighbors per node, no replacement.
+
+        Fully vectorized (no per-node Python — this must keep up with
+        ogbn-scale frontiers): nodes with deg ≤ fanout take every edge
+        (a concat of CSR ranges); larger nodes draw a random key per edge
+        and keep each node's ``fanout`` smallest keys (a per-segment
+        random top-k via one argsort)."""
+        nodes = np.asarray(nodes, np.int64)
+        lo = self.row_ptr[nodes]
+        deg = self.row_ptr[nodes + 1] - lo
+        small = deg <= fanout
+
+        idx_parts, dst_parts = [], []
+        ns, ds_, ls = nodes[small], lo[small], deg[small]
+        nz = ls > 0
+        if nz.any():
+            idx_parts.append(self._concat_ranges(ds_[nz], ls[nz]))
+            dst_parts.append(np.repeat(ns[nz], ls[nz]))
+
+        nb, lb, db = nodes[~small], lo[~small], deg[~small]
+        if len(nb):
+            edge_pos = self._concat_ranges(lb, db)  # all edges of big nodes
+            owner = np.repeat(np.arange(len(nb)), db)
+            # random order within each owner's contiguous block
+            key = owner.astype(np.float64) + self.rs.rand(len(edge_pos)) * 0.5
+            order = np.argsort(key, kind="stable")
+            starts = np.concatenate([[0], np.cumsum(db)[:-1]])
+            sel = np.repeat(starts, fanout) + np.tile(
+                np.arange(fanout, dtype=np.int64), len(nb)
+            )
+            idx_parts.append(edge_pos[order][sel])
+            dst_parts.append(np.repeat(nb, fanout))
+
+        if not idx_parts:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        return np.concatenate(srcs), np.concatenate(dsts)
+        idx = np.concatenate(idx_parts)
+        return self.src_sorted[idx].astype(np.int64), np.concatenate(dst_parts)
 
     def sample(
         self,
@@ -84,23 +139,20 @@ class NeighborSampler:
         n_edge_pad: Optional[int] = None,
     ) -> SampledBatch:
         seeds = np.asarray(seeds, np.int64)
-        visited = list(seeds)
-        seen = set(seeds.tolist())
+        node_ids = seeds
         frontier = seeds
         all_src, all_dst = [], []
         for fanout in self.fanouts:
             s, d = self._sample_neighbors(frontier, fanout)
             all_src.append(s)
             all_dst.append(d)
-            new = [v for v in np.unique(s) if v not in seen]
-            seen.update(new)
-            visited.extend(new)
-            frontier = np.asarray(new, np.int64)
+            cand = np.unique(s)
+            new = cand[~np.isin(cand, node_ids, assume_unique=False)]
+            node_ids = np.concatenate([node_ids, new])
+            frontier = new
             if len(frontier) == 0:
                 break
 
-        node_ids = np.asarray(visited, np.int64)
-        remap = {int(v): i for i, v in enumerate(node_ids)}
         src = np.concatenate(all_src) if all_src else np.zeros(0, np.int64)
         dst = np.concatenate(all_dst) if all_dst else np.zeros(0, np.int64)
         # Deduplicate edges sampled at multiple hops.
@@ -108,8 +160,10 @@ class NeighborSampler:
             key = dst * (self.num_nodes + 1) + src
             _, uniq = np.unique(key, return_index=True)
             src, dst = src[uniq], dst[uniq]
-        src_l = np.asarray([remap[int(v)] for v in src], np.int32)
-        dst_l = np.asarray([remap[int(v)] for v in dst], np.int32)
+        # global id → subgraph row (vectorized: node_ids is unique).
+        order = np.argsort(node_ids, kind="stable")
+        src_l = order[np.searchsorted(node_ids[order], src)].astype(np.int32)
+        dst_l = order[np.searchsorted(node_ids[order], dst)].astype(np.int32)
 
         g = graph_from_edges(
             src_l, dst_l, len(node_ids),

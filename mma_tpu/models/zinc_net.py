@@ -42,6 +42,8 @@ class ZincNet:
     # Static max in-degree bound (ZINC-subset ≤ 4; 8 gives headroom) —
     # caps the fused min/max kernel's scan depth. None = safe default.
     max_degree_hint: Optional[int] = None
+    # Edge-pipeline compute dtype for the convs (see MultiMaskConv).
+    compute_dtype: str = "float32"
 
     @property
     def node_emb(self):
@@ -66,6 +68,7 @@ class ZincNet:
             divide_input=False,
             parity=self.parity,
             max_degree_hint=self.max_degree_hint,
+            compute_dtype=self.compute_dtype,
         )
 
     @property

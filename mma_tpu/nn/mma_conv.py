@@ -93,6 +93,10 @@ class MultiMaskConv:
     divide_input: bool = False
     dropout_rate: float = 0.5  # hardcoded in the reference (mma_conv.py:67)
     parity: bool = True
+    # Edge-pipeline compute dtype ("float32" | "bfloat16"): message build
+    # and segment reduces run in this dtype (halves edge HBM traffic);
+    # node-level stages (scalers, post-NNs, lin) stay float32.
+    compute_dtype: str = "float32"
     # Static upper bound on node in-degree (dataset metadata; ZINC ≤ 8).
     # Caps the fused min/max kernel's scan depth — see
     # ``fused_segment_minmax``. None = no cap (always safe).
@@ -171,9 +175,15 @@ class MultiMaskConv:
         applied per node / per edge-attribute before gathering.
         """
         f, t = self.f_in, self.towers
+        cdt = jnp.dtype(self.compute_dtype)
+        x_flat = x_flat.astype(cdt)
+        if e_feat is not None:
+            e_feat = e_feat.astype(cdt)
         # Stack all towers' first-layer weights: (T, msg_in, F).
-        w0 = jnp.stack([pre_params_k[ti][0]["w"] for ti in range(t)])
-        b0 = jnp.concatenate([pre_params_k[ti][0]["b"] for ti in range(t)])
+        w0 = jnp.stack([pre_params_k[ti][0]["w"] for ti in range(t)]).astype(cdt)
+        b0 = jnp.concatenate(
+            [pre_params_k[ti][0]["b"] for ti in range(t)]
+        ).astype(cdt)
         if self.divide_input:
             p_dst = jnp.einsum(
                 "ntf,tfg->ntg", x_flat.reshape(-1, t, f), w0[:, :f, :]
@@ -195,7 +205,7 @@ class MultiMaskConv:
             for ti in range(t):
                 m = msg[:, ti * f : (ti + 1) * f]
                 for lp in pre_params_k[ti][1:]:
-                    m = jax.nn.relu(m) @ lp["w"] + lp["b"]
+                    m = jax.nn.relu(m) @ lp["w"].astype(cdt) + lp["b"].astype(cdt)
                 parts.append(m)
             msg = jnp.concatenate(parts, axis=1)
         return msg  # (E, T·F)
@@ -223,6 +233,7 @@ class MultiMaskConv:
                 r = fused_segment_sum(x, graph)
             else:
                 r = segment_sum(x, graph.dst, n)
+            r = r.astype(jnp.float32)  # bf16 pipeline: accumulate output in f32
             return jax.lax.psum(r, axis_name) if axis_name else r
 
         if name == "sum":
@@ -249,6 +260,7 @@ class MultiMaskConv:
                 fn = segment_max if name == "max" else segment_min
                 r = fn(jnp.where(valid, msgs, neutral), graph.dst, n)
                 r = cross_shard(r, jnp.max if name == "max" else jnp.min)
+                r = r.astype(jnp.float32)
             return jnp.where(graph.deg[:, None] > 0, r, 0.0)
         if name in ("var", "std"):
             mean, mean_sq = ssum(msgs) / deg, ssum(msgs * msgs) / deg

@@ -114,3 +114,87 @@ def train_sampled(
         log.log(**rec)
     log.close()
     return {"params": params, "history": history, "model": model}
+
+
+def prepare_sampled_arrays(batch, features: np.ndarray, labels: np.ndarray):
+    """Host-side (x, y, seed_mask) arrays for one :class:`SampledBatch`."""
+    x = np.zeros((batch.graph.n_node, features.shape[1]), np.float32)
+    valid = batch.node_ids >= 0
+    x[valid] = features[batch.node_ids[valid]]
+    y = np.zeros(batch.graph.n_node, np.int32)
+    y[valid] = labels[batch.node_ids[valid]]
+    seed_mask = np.zeros(batch.graph.n_node, np.float32)
+    seed_mask[: batch.num_seeds] = 1.0
+    return x, y, seed_mask
+
+
+def stack_sampled_batches(batches, features: np.ndarray, labels: np.ndarray):
+    """Stack per-device sampled batches along a leading device axis.
+
+    Returns ``(x, graph, y, seed_mask)`` stacks ready for
+    :func:`make_sampled_dp_step`. Graphs must share padding budgets
+    (``n_node_pad``/``n_edge_pad``); per-batch kernel structure
+    (``chunk_hint`` + CSC fields) is dropped — sharded/stacked graphs
+    run the XLA segment paths (CLAUDE.md invariant).
+    """
+    graphs = [
+        dataclasses.replace(
+            b.graph, chunk_hint=None, src_perm=None, col_ptr=None,
+            src_csc=None, dst_csc=None,
+        )
+        for b in batches
+    ]
+    graph = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *graphs)
+    xs, ys, sms = zip(*(prepare_sampled_arrays(b, features, labels) for b in batches))
+    return (
+        jnp.asarray(np.stack(xs)),
+        graph,
+        jnp.asarray(np.stack(ys)),
+        jnp.asarray(np.stack(sms)),
+    )
+
+
+def make_sampled_dp_step(model, opt, mesh, axis: str = "data"):
+    """Data-parallel sampled-minibatch step: one sampled subgraph per
+    device, global seed-weighted NLL via psum, exact pooled gradients.
+
+    Returns ``step(params, opt_state, x, graph, y, seed_mask, rngs) ->
+    (params, opt_state, loss)`` with the leading axis of every data arg
+    sharded along ``axis`` and params replicated.
+    """
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from mma_tpu.graph.container import Graph
+
+    g_spec = Graph(
+        src=P(axis), dst=P(axis), edge_mask=P(axis), node_mask=P(axis),
+        deg=P(axis), row_ptr=P(axis), src_perm=None, col_ptr=None,
+        src_csc=None, dst_csc=None, chunk_hint=None,
+    )
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(axis), g_spec, P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def mean_nll(params, x, g, y, seed_mask, rng):
+        x_l, g_l, y_l, sm_l = jax.tree.map(lambda v: v[0], (x, g, y, seed_mask))
+        logp = model.apply(params, x_l, g_l, training=True, rng=rng[0])
+        nll = -logp[jnp.arange(y_l.shape[0]), y_l]
+        lsum = jax.lax.psum(jnp.sum(nll * sm_l), axis)
+        lcnt = jax.lax.psum(jnp.sum(sm_l), axis)
+        return lsum / jnp.maximum(lcnt, 1.0)
+
+    @jax.jit
+    def step(params, opt_state, x, graph, y, seed_mask, rngs):
+        loss, grads = jax.value_and_grad(
+            lambda p: mean_nll(p, x, graph, y, seed_mask, rngs)
+        )(params)
+        updates, new_opt = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, loss
+
+    return step

@@ -89,3 +89,57 @@ def test_sampled_training_learns():
     assert losses[-1] < losses[0], losses
     # above chance (4 classes) on a deliberately noisy synthetic task
     assert res["history"][-1]["acc_train"] > 0.3
+
+
+def test_sampled_dp_step_matches_pooled_single_device():
+    """make_sampled_dp_step: per-device sampled subgraphs, psum-pooled
+    seed NLL — loss and post-step params match computing the same pooled
+    loss on one device."""
+    import optax
+    from mma_tpu.parallel import make_mesh
+    from mma_tpu.train.optim import make_optimizer
+    from mma_tpu.train.sampled import (
+        make_sampled_dp_step,
+        stack_sampled_batches,
+    )
+
+    assert len(jax.devices()) == 8
+    _, _, g = random_symmetric_graph(300, p=0.03, seed=4)
+    rs = np.random.RandomState(1)
+    features = rs.randn(300, 8).astype(np.float32)
+    labels = rs.randint(0, 3, 300)
+    model = NodeClassifier(
+        n_feat=8, n_hidden=12, n_class=3, aggregators=("mean", "min2"),
+        dropout_rate=0.0,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(0.01)
+
+    sampler = NeighborSampler(g, fanouts=(4, 4, 4), seed=7)
+    seeds = np.arange(64).reshape(8, 8)
+    batches = [
+        sampler.sample(s, n_node_pad=256, n_edge_pad=1024) for s in seeds
+    ]
+    x, graph, y, sm = stack_sampled_batches(batches, features, labels)
+
+    mesh = make_mesh(("data",))
+    step = make_sampled_dp_step(model, opt, mesh, "data")
+    rngs = jax.random.split(jax.random.PRNGKey(2), 8)
+    p_dp, _, loss_dp = step(params, opt.init(params), x, graph, y, sm, rngs)
+
+    # pooled single-device reference (dropout off ⇒ rngs inert)
+    def pooled_loss(p):
+        tot, cnt = 0.0, 0.0
+        for i, b in enumerate(batches):
+            logp = model.apply(p, x[i], b.graph, training=False)
+            nll = -logp[jnp.arange(y.shape[1]), y[i]]
+            tot = tot + jnp.sum(nll * sm[i])
+            cnt = cnt + jnp.sum(sm[i])
+        return tot / cnt
+
+    l_ref, g_ref = jax.value_and_grad(pooled_loss)(params)
+    up, _ = opt.update(g_ref, opt.init(params), params)
+    p_ref = optax.apply_updates(params, up)
+    np.testing.assert_allclose(float(loss_dp), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_dp), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
