@@ -36,6 +36,8 @@ def build_parser():
                    help="use fixed (intended) semantics instead of reference parity")
     p.add_argument("--use-pallas", action="store_true",
                    help="route segment reductions through the fused Pallas kernel")
+    p.add_argument("--matmul_precision", type=str, default="highest",
+                   help="jax matmul precision for quality runs (highest|high|default)")
     p.add_argument("--log", type=str, default=None, help="JSONL log path")
     p.add_argument("--checkpoint-dir", type=str, default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
@@ -64,6 +66,7 @@ def main(argv=None):
         parity=not args.no_parity,
         fastmode=args.fastmode,
         use_pallas=args.use_pallas,
+        matmul_precision=args.matmul_precision,
         log_path=args.log,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,

@@ -36,6 +36,8 @@ def build_parser():
                    help="route sum-family reductions through the fused Pallas kernel")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize conv layers (memory for FLOPs)")
+    p.add_argument("--matmul_precision", type=str, default="highest",
+                   help="jax matmul precision for quality runs (highest|high|default)")
     p.add_argument("--log", type=str, default=None)
     p.add_argument("--checkpoint-dir", type=str, default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
@@ -60,6 +62,7 @@ def main(argv=None):
         subset_size=args.subset,
         use_pallas=args.use_pallas,
         remat=args.remat,
+        matmul_precision=args.matmul_precision,
         log_path=args.log,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,

@@ -98,6 +98,13 @@ def _chunk_index_fn(num_data_chunks, block_b):
     return chunk_index
 
 
+# Kernel dots pin precision=DEFAULT explicitly: these kernels do their
+# own bf16 operand splits, so the global jax_default_matmul_precision
+# (which quality runs set to "highest") must not leak in — Mosaic cannot
+# lower HIGH and would emulate HIGHEST redundantly on top of the splits.
+_MXU = jax.lax.Precision.DEFAULT
+
+
 def _contract(acc, onehot, d, passes):
     """acc += onehotᵀ-style contraction with bf16-split data operand."""
     oh = onehot.astype(jnp.float32)
@@ -105,7 +112,8 @@ def _contract(acc, onehot, d, passes):
     for _ in range(passes):
         hi = d.astype(jnp.bfloat16).astype(jnp.float32)
         acc += jax.lax.dot_general(
-            oh, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            oh, hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_MXU,
         )
         d = d - hi
     return acc
@@ -121,7 +129,8 @@ def _select_rows(onehot, table, passes):
     for _ in range(passes):
         hi = m.astype(jnp.bfloat16).astype(jnp.float32)
         acc += jax.lax.dot_general(
-            oh, hi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            oh, hi, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_MXU,
         )
         m = m - hi
     return acc

@@ -67,6 +67,7 @@ def _select_last(onehot_f32, x, passes):
         acc += jax.lax.dot_general(
             onehot_f32, hi, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         d = d - hi
     return acc
@@ -140,6 +141,7 @@ def _minmax_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref,
         hits = jax.lax.dot_general(
             onehot, jnp.ones((block_b, 1), jnp.float32),
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )  # (R, 1)
 
         for pi, op in enumerate(ops):

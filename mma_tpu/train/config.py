@@ -29,6 +29,10 @@ class NodeClassificationConfig:
     parity_eval_dropout: bool = False  # N2: reference eval keeps dropout on
     fastmode: bool = False  # train.py:21 — skip the eval-mode re-forward
     use_pallas: bool = False
+    # jax matmul precision for quality runs. TPU MXU default rounds f32
+    # operands to bf16, which costs ~1-2 points of accuracy on these small
+    # models (QUALITY.md); "highest" forces full-f32 MXU passes.
+    matmul_precision: Optional[str] = "highest"
     log_path: Optional[str] = None
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0  # epochs; 0 = off
@@ -62,6 +66,7 @@ class ZincConfig:
     n_edge_per_graph: int = 100
     use_pallas: bool = False
     remat: bool = False
+    matmul_precision: Optional[str] = "highest"  # see NodeClassificationConfig
     log_path: Optional[str] = None
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0

@@ -27,11 +27,31 @@ from mma_tpu.train.optim import ReduceLROnPlateau, make_optimizer, set_learning_
 from mma_tpu.utils.profiling import trace
 
 
+def _set_matmul_precision(precision):
+    if precision:
+        jax.config.update("jax_default_matmul_precision", precision)
+
+
 def train_node_classification(cfg: NodeClassificationConfig, data=None):
     """Full-batch transductive training (train.py:72-116)."""
+    _set_matmul_precision(cfg.matmul_precision)
     log = JsonlLogger(cfg.log_path)
+    synthetic_features = False
     if data is None:
-        data = load_planetoid(cfg.dataset, synthetic_features=(cfg.dataset == "pubmed"))
+        synthetic_features = cfg.dataset == "pubmed"
+        if synthetic_features:
+            # ind.pubmed.allx is absent upstream (SURVEY §6); refuse to let
+            # a synthetic-feature accuracy pass silently as a quality number.
+            import warnings
+
+            warnings.warn(
+                "pubmed features are SYNTHETIC (ind.pubmed.allx missing): "
+                "accuracies are structural-benchmarks only, NOT quality "
+                "numbers. Results are tagged synthetic_features=True.",
+                stacklevel=2,
+            )
+            log.log(synthetic_features=True)
+        data = load_planetoid(cfg.dataset, synthetic_features=synthetic_features)
     graph = data.graph
     x = jnp.asarray(data.features)
     labels = jnp.asarray(data.labels)
@@ -135,6 +155,7 @@ def train_node_classification(cfg: NodeClassificationConfig, data=None):
         "acc_test": float(accuracy(logp[idx_test], labels[idx_test])),
         "history": history,
         "params": params,
+        "synthetic_features": synthetic_features,
     }
     log.log(loss_test=results["loss_test"], acc_test=results["acc_test"])
     log.close()
@@ -143,6 +164,7 @@ def train_node_classification(cfg: NodeClassificationConfig, data=None):
 
 def train_zinc(cfg: ZincConfig, datasets=None):
     """Batched L1-regression training (mma.py:139-200)."""
+    _set_matmul_precision(cfg.matmul_precision)
     log = JsonlLogger(cfg.log_path)
     if datasets is None:
         datasets = {

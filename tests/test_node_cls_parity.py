@@ -54,7 +54,12 @@ def test_single_aggregator_matches_oracle(setup, name, activation):
         activation=activation, parity=True,
     )
     want = oracle_mma_aggregator(name, h[:N], add_all, mask_w[0], activation)
-    np.testing.assert_allclose(unpad(got[:, 0, :], N), want, rtol=2e-5, atol=2e-5)
+    # Split tolerances (SURVEY §7): min/max center-combines don't
+    # reassociate — only the neighbor masked-sum does — so they gate at
+    # 1e-6; the sum/mean family keeps 2e-5 for the re-associated sums.
+    spec = get_agg_spec(name)
+    tol = 1e-6 if spec.combine in ("min", "max") else 2e-5
+    np.testing.assert_allclose(unpad(got[:, 0, :], N), want, rtol=tol, atol=tol)
 
 
 def test_n1_activation_table(setup):
