@@ -134,6 +134,13 @@ def masked_multi_aggregate(
     # Pallas paths require per-device-local CSR/CSC structure: always
     # present unsharded; under edge sharding only with kernel_structure
     # (signalled by src_perm being carried).
+    #
+    # PERF CLIFF (documented, by design): mask dropout (N2 parity
+    # training) and std/moment_3 combines need per-edge mask/message
+    # tensors, so they demote the fully fused edge program to the
+    # half-fused path below (materialized (E, K·F) messages + fused
+    # segment-sum) — ~2-3× more edge HBM traffic. Deterministic eval and
+    # all README-preset aggregators keep the fully fused path.
     pallas_ok = use_pallas and graph.src_perm is not None
     fused_ok = pallas_ok and not dropout_on and not need_moments
     if fused_ok:

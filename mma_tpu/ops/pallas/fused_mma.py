@@ -423,22 +423,23 @@ def _grid_and_prefetch(row_ptr, e_pad, block_r, block_b):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_r", "block_b", "interpret", "passes")
+    jax.jit, static_argnames=("block_r", "block_b", "block_sub", "interpret", "passes")
 )
-def _fused_segment_sum(data, dst, row_ptr, *, block_r, block_b, interpret, passes):
+def _fused_segment_sum(data, dst, row_ptr, *, block_r, block_b,
+                       block_sub=BLOCK_SUB, interpret, passes):
     e_pad, ch = data.shape
     assert e_pad % block_b == 0, (e_pad, block_b)
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
-    n_sub = block_b // BLOCK_SUB
+    n_sub = block_b // block_sub
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(total_steps,),
         in_specs=[
             pl.BlockSpec(  # ids tiled (chunks, n_sub, 128)
-                (1, n_sub, BLOCK_SUB),
+                (1, n_sub, block_sub),
                 lambda i, b, c, s, e: (chunk_index(i, b, c, s, e), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -454,26 +455,26 @@ def _fused_segment_sum(data, dst, row_ptr, *, block_r, block_b, interpret, passe
     )
     return pl.pallas_call(
         functools.partial(
-            _sum_kernel, block_b=block_b, block_sub=BLOCK_SUB, passes=passes
+            _sum_kernel, block_b=block_b, block_sub=block_sub, passes=passes
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((int(num_blocks) * block_r, ch), jnp.float32),
         interpret=interpret,
     )(block_of, chunk_of, starts, ends,
-      dst.reshape(num_chunks, n_sub, BLOCK_SUB), data)[:n]
+      dst.reshape(num_chunks, n_sub, block_sub), data)[:n]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_r", "block_b", "interpret", "passes", "n_agg")
+    jax.jit, static_argnames=("block_r", "block_b", "block_sub", "interpret", "passes", "n_agg")
 )
 def _fused_masked_segment_sum(logits, h_src, pattern, dst, row_ptr, *, block_r,
-                              block_b, interpret, passes, n_agg):
+                              block_b, block_sub=BLOCK_SUB, interpret, passes, n_agg):
     e_pad, ckf = logits.shape
     assert e_pad % block_b == 0
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
-    n_sub = block_b // BLOCK_SUB
+    n_sub = block_b // block_sub
     f = ckf // n_agg
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -481,7 +482,7 @@ def _fused_masked_segment_sum(logits, h_src, pattern, dst, row_ptr, *, block_r,
         grid=(total_steps,),
         in_specs=[
             pl.BlockSpec(
-                (1, n_sub, BLOCK_SUB),
+                (1, n_sub, block_sub),
                 lambda i, b, c, s, e: (chunk_index(i, b, c, s, e), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -505,27 +506,27 @@ def _fused_masked_segment_sum(logits, h_src, pattern, dst, row_ptr, *, block_r,
     )
     return pl.pallas_call(
         functools.partial(
-            _masked_kernel, block_b=block_b, block_sub=BLOCK_SUB,
+            _masked_kernel, block_b=block_b, block_sub=block_sub,
             passes=passes, n_agg=n_agg,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((int(num_blocks) * block_r, ckf), jnp.float32),
         interpret=interpret,
     )(block_of, chunk_of, starts, ends,
-      dst.reshape(num_chunks, n_sub, BLOCK_SUB), logits, h_src, pattern)[:n]
+      dst.reshape(num_chunks, n_sub, block_sub), logits, h_src, pattern)[:n]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_r", "block_b", "interpret", "passes", "n_agg")
+    jax.jit, static_argnames=("block_r", "block_b", "block_sub", "interpret", "passes", "n_agg")
 )
 def _fused_program_fwd(c, dh_src, pattern, dst, row_ptr, *, block_r, block_b,
-                       interpret, passes, n_agg):
+                       block_sub=BLOCK_SUB, interpret, passes, n_agg):
     e_pad, ckf_f = dh_src.shape
     assert e_pad % block_b == 0
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
-    n_sub = block_b // BLOCK_SUB
+    n_sub = block_b // block_sub
     ckf = c.shape[1]
     n_rows = int(num_blocks) * block_r
     c_p = jnp.pad(c, ((0, n_rows - c.shape[0]), (0, 0)))
@@ -535,7 +536,7 @@ def _fused_program_fwd(c, dh_src, pattern, dst, row_ptr, *, block_r, block_b,
         grid=(total_steps,),
         in_specs=[
             pl.BlockSpec(
-                (1, n_sub, BLOCK_SUB),
+                (1, n_sub, block_sub),
                 lambda i, b, c_, s, e: (chunk_index(i, b, c_, s, e), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -556,31 +557,31 @@ def _fused_program_fwd(c, dh_src, pattern, dst, row_ptr, *, block_r, block_b,
     )
     return pl.pallas_call(
         functools.partial(
-            _program_fwd_kernel, block_b=block_b, block_sub=BLOCK_SUB,
+            _program_fwd_kernel, block_b=block_b, block_sub=block_sub,
             passes=passes, n_agg=n_agg,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, ckf), jnp.float32),
         interpret=interpret,
     )(block_of, chunk_of, starts, ends,
-      dst.reshape(num_chunks, n_sub, BLOCK_SUB), dh_src, c_p, pattern)[:n]
+      dst.reshape(num_chunks, n_sub, block_sub), dh_src, c_p, pattern)[:n]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "block_r", "block_b", "interpret", "passes", "n_agg", "emit_payload"
+        "block_r", "block_b", "block_sub", "interpret", "passes", "n_agg", "emit_payload"
     ),
 )
 def _fused_program_bwd(c, ct, dh_src, pattern, dst, row_ptr, n_real, *,
-                       block_r, block_b, interpret, passes, n_agg,
-                       emit_payload=True):
+                       block_r, block_b, block_sub=BLOCK_SUB, interpret,
+                       passes, n_agg, emit_payload=True):
     e_pad, ckf_f = dh_src.shape
     assert e_pad % block_b == 0
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
-    n_sub = block_b // BLOCK_SUB
+    n_sub = block_b // block_sub
     ckf = c.shape[1]
     n_rows = int(num_blocks) * block_r
     c_p = jnp.pad(c, ((0, n_rows - c.shape[0]), (0, 0)))
@@ -591,7 +592,7 @@ def _fused_program_bwd(c, ct, dh_src, pattern, dst, row_ptr, n_real, *,
         grid=(total_steps,),
         in_specs=[
             pl.BlockSpec(
-                (1, n_sub, BLOCK_SUB),
+                (1, n_sub, block_sub),
                 lambda i, b, c_, s, e, nr: (chunk_index(i, b, c_, s, e), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -623,29 +624,30 @@ def _fused_program_bwd(c, ct, dh_src, pattern, dst, row_ptr, n_real, *,
         out_shape += (jax.ShapeDtypeStruct((e_pad, ckf_f), jnp.float32),)
     outs = pl.pallas_call(
         functools.partial(
-            _program_bwd_kernel, block_b=block_b, block_sub=BLOCK_SUB,
+            _program_bwd_kernel, block_b=block_b, block_sub=block_sub,
             passes=passes, n_agg=n_agg,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(block_of, chunk_of, starts, ends, n_real,
-      dst.reshape(num_chunks, n_sub, BLOCK_SUB), dh_src, c_p, ct_p, pattern)
+      dst.reshape(num_chunks, n_sub, block_sub), dh_src, c_p, ct_p, pattern)
     dc = outs[0][:n]
     return (dc, outs[1]) if emit_payload else (dc, None)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_r", "block_b", "interpret", "passes", "n_agg")
+    jax.jit, static_argnames=("block_r", "block_b", "block_sub", "interpret", "passes", "n_agg")
 )
 def _fused_program_bwd_csc(ctc, d, h, pattern, src_csc, col_ptr, *,
-                           block_r, block_b, interpret, passes, n_agg):
+                           block_r, block_b, block_sub=BLOCK_SUB, interpret,
+                           passes, n_agg):
     e_pad, two_ckf = ctc.shape
     assert e_pad % block_b == 0
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(col_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
-    n_sub = block_b // BLOCK_SUB
+    n_sub = block_b // block_sub
     ckf = d.shape[1]
     f = h.shape[1]
     n_rows = int(num_blocks) * block_r
@@ -657,7 +659,7 @@ def _fused_program_bwd_csc(ctc, d, h, pattern, src_csc, col_ptr, *,
         grid=(total_steps,),
         in_specs=[
             pl.BlockSpec(
-                (1, n_sub, BLOCK_SUB),
+                (1, n_sub, block_sub),
                 lambda i, b, c_, s, e: (chunk_index(i, b, c_, s, e), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -680,14 +682,14 @@ def _fused_program_bwd_csc(ctc, d, h, pattern, src_csc, col_ptr, *,
     )
     out = pl.pallas_call(
         functools.partial(
-            _program_bwd_csc_kernel, block_b=block_b, block_sub=BLOCK_SUB,
+            _program_bwd_csc_kernel, block_b=block_b, block_sub=block_sub,
             passes=passes, n_agg=n_agg,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, ckf + f), jnp.float32),
         interpret=interpret,
     )(block_of, chunk_of, starts, ends,
-      src_csc.reshape(num_chunks, n_sub, BLOCK_SUB), ctc, d_p, h_p, pattern)
+      src_csc.reshape(num_chunks, n_sub, block_sub), ctc, d_p, h_p, pattern)
     return out[:n]
 
 
@@ -813,6 +815,9 @@ def fused_mma_edge_program(
     *,
     precision: str = "high",
     bwd_mode: "str | None" = None,
+    block_r: int = BLOCK_R,
+    block_b: int = BLOCK_B,
+    block_sub: int = BLOCK_SUB,
 ) -> jnp.ndarray:
     """Full MMA edge program with Pallas forward *and* backward.
 
@@ -852,12 +857,12 @@ def fused_mma_edge_program(
 
     def _fwd_run(c, dh_src):
         (dh_p,), dst = _pad_edges(
-            [dh_src], graph.dst, e, graph.n_node, BLOCK_B
+            [dh_src], graph.dst, e, graph.n_node, block_b
         )
         return _fused_program_fwd(
             c.astype(jnp.float32), dh_p, pat2d, dst, graph.row_ptr,
-            block_r=BLOCK_R, block_b=BLOCK_B, interpret=interpret,
-            passes=passes, n_agg=n_agg,
+            block_r=block_r, block_b=block_b, block_sub=block_sub,
+            interpret=interpret, passes=passes, n_agg=n_agg,
         )
 
     @jax.custom_vjp
@@ -872,15 +877,16 @@ def fused_mma_edge_program(
     def _bwd(res, ct):
         c_, d_, h_, dh_src = res
         (dh_p,), dst = _pad_edges(
-            [dh_src], graph.dst, e, graph.n_node, BLOCK_B
+            [dh_src], graph.dst, e, graph.n_node, block_b
         )
         n_real = graph.num_edges.astype(jnp.int32).reshape(1)
         csc = graph.dst_csc is not None and bwd_mode == "csc_gather"
         dc, payload = _fused_program_bwd(
             c_.astype(jnp.float32), ct.astype(jnp.float32), dh_p, pat2d,
             dst, graph.row_ptr, n_real,
-            block_r=BLOCK_R, block_b=BLOCK_B, interpret=interpret,
-            passes=passes, n_agg=n_agg, emit_payload=not csc,
+            block_r=block_r, block_b=block_b, block_sub=block_sub,
+            interpret=interpret, passes=passes, n_agg=n_agg,
+            emit_payload=not csc,
         )
         if csc:
             # Src-keyed half via CSC recompute: gather [ct ‖ c] node rows
@@ -895,13 +901,13 @@ def fused_mma_edge_program(
                 graph.dst_csc
             ]
             (ctc_p,), src_csc = _pad_edges(
-                [ctc], graph.src_csc, e, graph.n_node, BLOCK_B
+                [ctc], graph.src_csc, e, graph.n_node, block_b
             )
             src_side = _fused_program_bwd_csc(
                 ctc_p, d_.astype(jnp.float32), h_.astype(jnp.float32),
                 pat2d, src_csc, graph.col_ptr,
-                block_r=BLOCK_R, block_b=BLOCK_B, interpret=interpret,
-                passes=passes, n_agg=n_agg,
+                block_r=block_r, block_b=block_b, block_sub=block_sub,
+                interpret=interpret, passes=passes, n_agg=n_agg,
             )
         else:
             # One wide src-keyed pass for both dd and dh.
