@@ -270,32 +270,31 @@ class MultiMaskConv:
             return out
         raise ValueError(f'Unknown aggregator "{name}".')
 
-    def _reduce_all(self, per_agg, graph: Graph, deg, use_pallas, axis_name):
-        """All K reduces; min+max sharing one message tensor (parity
-        mode shares messages across aggregators — N6) run as ONE fused
-        Pallas pass over the edge data (``ops=("min","max")``)."""
+    def _reduce_all(self, per_agg, graph: Graph, deg, use_pallas, axis_name,
+                    shared_messages: bool):
+        """All K reduces; when min+max consume the SAME message tensor
+        (``shared_messages=True`` — parity mode shares messages across
+        aggregators, N6) they run as ONE fused Pallas pass over the edge
+        data (``ops=("min","max")``). The flag is explicit (set by
+        ``apply`` from the parity mode that built ``per_agg``) rather
+        than inferred from array identity, so refactors of the message
+        dict can't silently de-pair the kernel launch."""
         paired = {}
-        if use_pallas and axis_name is None:
-            by_msgs = {}
-            for a in self.aggregators:
-                if a in ("min", "max"):
-                    by_msgs.setdefault(id(per_agg[a]), []).append(a)
-            for key, names in by_msgs.items():
-                if len(names) < 2:
-                    continue
-                from mma_tpu.ops.pallas.segment_minmax import (
-                    fused_segment_minmax,
-                )
+        minmax = tuple(a for a in self.aggregators if a in ("min", "max"))
+        if (use_pallas and axis_name is None and shared_messages
+                and len(minmax) >= 2):
+            from mma_tpu.ops.pallas.segment_minmax import (
+                fused_segment_minmax,
+            )
 
-                msgs = per_agg[names[0]]
-                ops = tuple(names)
-                fused = fused_segment_minmax(
-                    msgs, graph, ops, max_run=self.max_degree_hint
-                )
-                c = msgs.shape[1]
-                for pi, a in enumerate(ops):
-                    r = fused[:, pi * c : (pi + 1) * c]
-                    paired[a] = jnp.where(graph.deg[:, None] > 0, r, 0.0)
+            msgs = per_agg[minmax[0]]
+            fused = fused_segment_minmax(
+                msgs, graph, minmax, max_run=self.max_degree_hint
+            )
+            c = msgs.shape[1]
+            for pi, a in enumerate(minmax):
+                r = fused[:, pi * c : (pi + 1) * c]
+                paired[a] = jnp.where(graph.deg[:, None] > 0, r, 0.0)
         return [
             paired[a] if a in paired else self._reduce(
                 a, per_agg[a], graph, deg, use_pallas=use_pallas,
@@ -305,7 +304,6 @@ class MultiMaskConv:
         ]
 
     def _scale(self, agg, deg):
-        """Scaler stage → (N, T, S·K·F); parity compounds (N9)."""
         """Per-scaler copies of ``agg`` (a list, one (N, ·) array per
         scaler, in scaler order); parity compounds (N9)."""
         avg = dict(self.avg_deg)
@@ -390,7 +388,10 @@ class MultiMaskConv:
                 per_agg[a] = dropout(rngs[ki] if rngs is not None else None, m, self.dropout_rate)
 
         # reds[k]: (N, T·F); scaled[s][k]: (N, T·F).
-        reds = self._reduce_all(per_agg, graph, deg, use_pallas, axis_name)
+        reds = self._reduce_all(
+            per_agg, graph, deg, use_pallas, axis_name,
+            shared_messages=self.parity,
+        )
         scaled = [self._scale(r, deg) for r in reds]  # [k][s] → transpose below
 
         # Reassemble the reference's per-tower feature order

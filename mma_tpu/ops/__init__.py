@@ -9,8 +9,11 @@ from mma_tpu.ops.aggregators import AggSpec, get_agg_spec, NODE_CLS_AGGREGATORS
 from mma_tpu.ops.masked_aggregate import masked_multi_aggregate, mma_mask_logits
 from mma_tpu.ops.spmm import binary_spmm
 from mma_tpu.ops.scalers import apply_scalers, SCALER_NAMES
+from mma_tpu.ops.gather import gather_by_dst, gather_by_src
 
 __all__ = [
+    "gather_by_dst",
+    "gather_by_src",
     "segment_sum",
     "segment_mean",
     "segment_max",

@@ -147,14 +147,29 @@ def masked_multi_aggregate(
         # Fully fused path: gathers + activation + multiply + segment-sum
         # through the Pallas edge program — no (E, K·F) mask/message
         # intermediates in HBM, and every backward scatter runs as a
-        # sorted Pallas segment-sum too (fused_mma_edge_program).
-        from mma_tpu.ops.pallas.fused_mma import fused_mma_edge_program
-
+        # sorted Pallas segment-sum too. The default is the *lean*
+        # program (src projection d = h @ W_bot computed in-kernel, so
+        # the random gather is tile(h, K) at the fast 128-lane width);
+        # an explicit ``pallas_bwd_mode`` selects the wide [d ‖ h]
+        # program with that backward strategy (A/B + coverage).
         pat = _sigmoid_lane_pattern(specs, activation, parity, f)
-        c, d = mma_mask_projections(h_c, mask_weights.astype(compute_dtype))
-        s = fused_mma_edge_program(
-            c, d, h_c, pat, graph, k, bwd_mode=pallas_bwd_mode
-        )
+        mw = mask_weights.astype(compute_dtype)
+        if pallas_bwd_mode is None:
+            from mma_tpu.ops.pallas.fused_mma import (
+                fused_mma_edge_program_lean,
+            )
+
+            w_top = mw[:, :f, :].transpose(1, 0, 2).reshape(f, k * f)
+            w_bot = mw[:, f:, :].transpose(1, 0, 2).reshape(f, k * f)
+            c = h_c @ w_top
+            s = fused_mma_edge_program_lean(c, w_bot, h_c, pat, graph, k)
+        else:
+            from mma_tpu.ops.pallas.fused_mma import fused_mma_edge_program
+
+            c, d = mma_mask_projections(h_c, mw)
+            s = fused_mma_edge_program(
+                c, d, h_c, pat, graph, k, bwd_mode=pallas_bwd_mode
+            )
         msgs = None
     else:
         logits = mma_mask_logits(h_c, mask_weights.astype(compute_dtype), graph)

@@ -49,6 +49,7 @@ from mma_tpu.ops.pallas.fused_mma import (
     _PASSES,
     _grid_and_prefetch,
     _pad_edges,
+    _split_terms,
 )
 
 _NEUTRAL = {"min": jnp.inf, "max": -jnp.inf}
@@ -152,6 +153,115 @@ def _minmax_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref,
             out_ref[:, pi * ch : (pi + 1) * ch] = comb(cur, contrib)
 
 
+def _minmax_bwd_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref, nreal_ref,
+                       rs_ref, re_ref, data_ref, out_ref, ct_ref, grad_ref,
+                       hit_before, *, block_b, scan_steps, ops, passes,
+                       data_passes):
+    """Backward of the segmented min/max, dst orientation, one edge pass.
+
+    Routes each (row, channel, op) cotangent to the FIRST edge whose value
+    equals the segment optimum — torch_scatter's argmin/argmax routing
+    (``/root/reference/graph_regression/mma_conv.py:166-172`` backward),
+    a valid subgradient. Mechanics per chunk:
+
+    - ``out[dst]``/``ct[dst]`` come from the block-resident rows via a
+      full-expansion one-hot MXU select. The forward-output select uses
+      an exact 3-term bf16 split (bf16 terms carry disjoint 8-bit
+      mantissa windows of the f32 value and each one-hot pass selects a
+      single term with no accumulation), so the ``data == out[dst]`` hit
+      test is an EXACT f32 comparison; bf16 data needs one term.
+    - first-in-chunk hit: segmented exclusive prefix-OR (the same
+      endpoint-test doubling scan as the forward, max over {0,1}).
+    - first-across-chunks: ``hit_before`` (R, P·C) scratch persists
+      across the row block's sequential grid steps and accumulates each
+      chunk's per-row hit counts; a chunk's first hit only wins if no
+      earlier chunk hit (scratch is zeroed at each block's first step).
+    - padding edges (index ≥ n_real) are excluded from hits — their data
+      rows are zeros, which CAN tie a real optimum at 0.0.
+    """
+    i = pl.program_id(0)
+    r = bstep_ref[i]
+    c = cstep_ref[i]
+    start, end = starts_ref[r], ends_ref[r]
+    n_real = nreal_ref[0]
+    num_chunks = pl.cdiv(end, block_b) - start // block_b
+    ch = data_ref.shape[1]
+
+    @pl.when(c == 0)
+    def _():
+        hit_before[:] = jnp.zeros_like(hit_before)
+
+    @pl.when((start < end) & (c < num_chunks))
+    def _():
+        g = start // block_b + c
+        chunk_lo = g * block_b
+        rs = rs_ref[0]  # (1, R) row starts
+        re = re_ref[0]  # (1, R) row ends
+        pos = chunk_lo + jax.lax.broadcasted_iota(jnp.int32, (block_b, 1), 0)
+        cnt = jnp.sum((pos >= rs).astype(jnp.int32), axis=1, keepdims=True)
+        covered = (pos >= start) & (pos < end)
+        ids = jnp.where(covered, cnt - 1, -1)  # (B, 1) local row id
+        block_r = out_ref.shape[0]
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (1, block_r), 1)
+        exp_onehot = (ids == r_iota).astype(jnp.float32)  # (B, R)
+        shared_start = (c == 0) & (start % block_b != 0)
+
+        def sel(terms):
+            acc = jnp.zeros((block_b, terms[0].shape[1]), jnp.float32)
+            for hi in terms:
+                acc += jax.lax.dot_general(
+                    exp_onehot, hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+            return acc
+
+        out_e = sel(_split_terms(out_ref[:], data_passes))  # exact select
+        ct_e = sel(_split_terms(ct_ref[:], passes))
+        x = data_ref[:].astype(jnp.float32)  # (B, C)
+        real = covered & (pos < n_real)  # (B, 1)
+
+        grad = jnp.zeros((block_b, ch), jnp.float32)
+        new_counts = []
+        for pi, _op in enumerate(ops):
+            sl = slice(pi * ch, (pi + 1) * ch)
+            hit = ((x == out_e[:, sl]) & real).astype(jnp.float32)  # (B, C)
+            # Exclusive prefix-OR within each run (doubling scan; the
+            # endpoint id test is valid because ids are monotone).
+            incl = hit
+            for k in range(scan_steps):
+                sh = 1 << k
+                if sh >= block_b:
+                    break
+                ids_sh = _shift_down(ids, sh, jnp.int32(-7))
+                same = ids == ids_sh
+                lo = _shift_down(incl, sh, 0.0)
+                incl = jnp.where(same, jnp.maximum(incl, lo), incl)
+            ids_sh1 = _shift_down(ids, 1, jnp.int32(-7))
+            excl = jnp.where(ids == ids_sh1, _shift_down(incl, 1, 0.0), 0.0)
+            # Hits in earlier chunks of this row win.
+            before_e = sel([hit_before[:, sl]])  # counts ≤ B, exact bf16?
+            first = hit * (1.0 - jnp.minimum(excl, 1.0)) * (before_e <= 0.5)
+            grad += ct_e[:, sl] * first
+            # Row-keyed hit counts for the scratch update (0/1 data —
+            # single exact pass).
+            new_counts.append(jax.lax.dot_general(
+                exp_onehot, hit, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ))  # (R, C)
+        hit_before[:] += (jnp.concatenate(new_counts, axis=1)
+                          if len(ops) > 1 else new_counts[0])
+
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (block_b, 1), 0)
+        covered_col = ((chunk_lo + col_iota >= start)
+                       & (chunk_lo + col_iota < end))
+        prev = grad_ref[:]
+        grad_ref[:] = jnp.where(
+            covered_col, grad, jnp.where(shared_start, prev, 0.0)
+        )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_r", "block_b", "interpret", "passes", "ops",
@@ -208,6 +318,72 @@ def _fused_segment_minmax(data, row_ptr, *, block_r, block_b, interpret,
     )(block_of, chunk_of, starts, ends, rs2d, re2d, data)[:n]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_r", "block_b", "interpret", "passes",
+                     "data_passes", "ops", "scan_steps"),
+)
+def _fused_segment_minmax_bwd(data, out, ct, row_ptr, n_real, *, block_r,
+                              block_b, interpret, passes, data_passes, ops,
+                              scan_steps):
+    e_pad, ch = data.shape
+    assert e_pad % block_b == 0
+    (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
+     ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
+    n_rows = int(num_blocks) * block_r
+    rp_pad = jnp.pad(row_ptr, (0, n_rows + 1 - row_ptr.shape[0]),
+                     constant_values=e_pad)
+    rs2d = rp_pad[:n_rows].reshape(num_blocks, 1, block_r)
+    re2d = rp_pad[1 : n_rows + 1].reshape(num_blocks, 1, block_r)
+    pc = len(ops) * ch
+    out_p = jnp.pad(out, ((0, n_rows - out.shape[0]), (0, 0)))
+    # ±inf (empty rows' neutral) would turn the bf16 split into NaNs that
+    # poison the one-hot select; those rows have no edges, so zero them.
+    out_p = jnp.where(jnp.isfinite(out_p), out_p, 0.0)
+    ct_p = jnp.pad(ct, ((0, n_rows - ct.shape[0]), (0, 0)))
+
+    def chunk_index(i, bstep, cstep, s, e, nr):
+        g = s[bstep[i]] // block_b + cstep[i]
+        return jnp.clip(g, 0, num_chunks - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(total_steps,),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_r),
+                         lambda i, b, c, s, e, nr: (b[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_r),
+                         lambda i, b, c, s, e, nr: (b[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_b, ch),
+                lambda i, b, c, s, e, nr: (chunk_index(i, b, c, s, e, nr), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((block_r, pc), lambda i, b, c, s, e, nr: (b[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, pc), lambda i, b, c, s, e, nr: (b[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_b, ch),
+            lambda i, b, c, s, e, nr: (chunk_index(i, b, c, s, e, nr), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((block_r, pc), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _minmax_bwd_kernel, block_b=block_b, scan_steps=scan_steps,
+            ops=ops, passes=passes, data_passes=data_passes,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e_pad, ch), jnp.float32),
+        interpret=interpret,
+    )(block_of, chunk_of, starts, ends, n_real, rs2d, re2d, data, out_p, ct_p)
+
+
 def _scan_steps_for(graph: Graph, max_run, block_b) -> int:
     cap = block_b if max_run is None else min(int(max_run), block_b)
     steps = 0
@@ -239,14 +415,22 @@ def fused_segment_minmax(
     (too small) values give wrong results — callers derive it from
     dataset metadata (ZINC: 8) or leave None (full ``log2(block_b)``).
 
-    Differentiable: the VJP routes each op's cotangent to the edges whose
-    value equals the segment optimum, split equally among ties (a valid
-    subgradient; XLA's segment_min/max VJP makes the same choice).
+    Differentiable, with a fused Pallas backward: the VJP routes each
+    op's cotangent to the FIRST edge whose value equals the segment
+    optimum (torch_scatter's argmin/argmax routing — a valid
+    subgradient) in ONE edge pass: in-kernel exact hit test against the
+    forward output, segmented prefix-OR scan for the first in-chunk hit,
+    cross-chunk first-hit via a persistent row-block scratch. No XLA
+    scatter and no nties segment-sum round trip.
     """
     e, ch = data.shape
     assert e == graph.n_edge, (data.shape, graph.n_edge)
     assert all(o in ("min", "max") for o in ops) and len(ops) >= 1
-    passes = 1 if data.dtype == jnp.bfloat16 else _PASSES[precision]
+    is_bf16 = data.dtype == jnp.bfloat16
+    passes = 1 if is_bf16 else _PASSES[precision]
+    # The backward's hit test needs the fwd-output select to be EXACT:
+    # 3 bf16 terms reconstruct any f32; bf16 values need one.
+    data_passes = 1 if is_bf16 else 3
     scan_steps = _scan_steps_for(graph, max_run, block_b)
     interpret = jax.devices()[0].platform != "tpu"
 
@@ -268,21 +452,15 @@ def fused_segment_minmax(
 
     def _bwd(res, ct):
         d, out = res
-        out_e = out[graph.dst]  # (E, P·C)
-        ct_e = ct[graph.dst]
-        df = d.astype(jnp.float32)
-        grad = jnp.zeros_like(df)
-        for pi, _ in enumerate(ops):
-            sl = slice(pi * ch, (pi + 1) * ch)
-            hit = (df == out_e[:, sl]) & graph.edge_mask[:, None]
-            nties = jax.ops.segment_sum(
-                hit.astype(jnp.float32), graph.dst,
-                num_segments=graph.n_node, indices_are_sorted=True,
-            )[graph.dst]
-            grad = grad + jnp.where(
-                hit, ct_e[:, sl] / jnp.maximum(nties, 1.0), 0.0
-            )
-        return (grad.astype(d.dtype),)
+        (d_p,), _ = _pad_edges([d], graph.dst, e, graph.n_node, block_b)
+        n_real = graph.num_edges.astype(jnp.int32).reshape(1)
+        grad = _fused_segment_minmax_bwd(
+            d_p, out, ct.astype(jnp.float32), graph.row_ptr, n_real,
+            block_r=block_r, block_b=block_b, interpret=interpret,
+            passes=passes, data_passes=data_passes, ops=ops,
+            scan_steps=scan_steps,
+        )
+        return (grad[:e].astype(d.dtype),)
 
     _op.defvjp(_fwd, _bwd)
     return _op(data)

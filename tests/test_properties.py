@@ -85,7 +85,10 @@ def test_xla_path_matches_oracle(n, pct, seed, agg, activation):
     pct=st.integers(5, 30),
     seed=st.integers(0, 2**31 - 1),
     aggs=st.lists(st.sampled_from(USABLE), min_size=1, max_size=3, unique=True),
-    bwd_mode=st.sampled_from(["csc_gather", "payload_permute"]),
+    # None = the default lean edge program (in-kernel d = h @ W_bot);
+    # the named modes select the wide [d ‖ h] program's two backward
+    # strategies.
+    bwd_mode=st.sampled_from([None, "csc_gather", "payload_permute"]),
 )
 def test_pallas_matches_xla_fwd_and_grads(n, pct, seed, aggs, bwd_mode):
 

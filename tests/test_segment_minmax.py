@@ -72,25 +72,31 @@ def test_minmax_grad_matches_xla():
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=1e-5, atol=1e-5)
 
 
-def test_minmax_grad_splits_ties_equally():
-    """On tied data the VJP distributes the cotangent equally among the
-    tied edges (a valid subgradient whose components sum to the
-    cotangent — required for cross-path loss-gradient consistency)."""
+def test_minmax_grad_routes_ties_to_first_hit():
+    """On tied data the VJP routes each segment's cotangent ENTIRELY to
+    the first tied edge (torch_scatter's argmin/argmax routing — the
+    reference backward sends the gradient to a single index,
+    ``graph_regression/mma_conv.py:166-172``). Components still sum to
+    the cotangent per segment."""
     _, _, g = random_symmetric_graph(40, p=0.15, seed=7)
     data = jnp.ones((g.n_edge, 8))  # every edge ties
     ct = jnp.ones((g.n_node, 8))
     sel = (g.node_mask & (g.deg > 0))[:, None]
 
-    grad = jax.grad(
+    grad = np.asarray(jax.grad(
         lambda d: jnp.sum(
             jnp.where(sel, fused_segment_minmax(d, g, ("max",)), 0.0) * ct
         )
-    )(data)
-    deg = np.asarray(g.deg)[np.asarray(g.dst)]
-    em = np.asarray(g.edge_mask)
-    want = np.where(em[:, None], 1.0 / np.maximum(deg, 1.0)[:, None], 0.0)
-    want = np.broadcast_to(want, grad.shape)
-    np.testing.assert_allclose(np.asarray(grad), want, rtol=1e-6, atol=1e-6)
+    )(data))
+    # Expected: 1.0 exactly at each real nonempty row's FIRST edge.
+    rp = np.asarray(g.row_ptr)
+    nm = np.asarray(g.node_mask)
+    deg = np.asarray(g.deg)
+    want = np.zeros_like(grad)
+    for i in range(g.n_node):
+        if nm[i] and deg[i] > 0:
+            want[rp[i]] = 1.0
+    np.testing.assert_allclose(grad, want, rtol=1e-6, atol=1e-6)
 
 
 def test_minmax_max_run_cap():
