@@ -87,6 +87,11 @@ class NodeShardedGraph:
     bnd_halo: jnp.ndarray  # (S, B_m) int32 — boundary edge → halo-flat row
     bnd_dst: jnp.ndarray  # (S, B_m) int32 — boundary edge dst (local, sorted)
     bnd_mask: jnp.ndarray  # (S, B_m) bool
+    # Local CSR row pointers over dst_local / bnd_dst (padding edges
+    # counted in the last row) — the structure the fused Pallas
+    # segment-sum kernel needs to run per shard (use_pallas paths).
+    row_ptr: jnp.ndarray  # (S, N_m+1) int32
+    bnd_row_ptr: jnp.ndarray  # (S, N_m+1) int32
 
 
 _dataclass_pytree(NodeShardedGraph)
@@ -124,19 +129,25 @@ def build_node_sharded(graph: Graph, num_shards: int) -> Tuple[NodeShardedGraph,
             halo[q][p] = qs  # rows (global ids) q sends to p
         per_shard.append((lo, hi, s_p, d_p))
 
+    def _round_edges(m):
+        # 128-lane multiple; above one kernel block, a BLOCK_B multiple
+        # (fused_segment_sum_raw needs block_b | E_m).
+        m = max(((m + 127) // 128) * 128, 128)
+        if m > 1024:
+            m = ((m + 1023) // 1024) * 1024
+        return m
+
     n_m = max(int(cuts[p + 1] - cuts[p]) for p in range(num_shards)) + 1
-    e_m = max(len(ps[2]) for ps in per_shard)
-    e_m = max(((e_m + 127) // 128) * 128, 128)
+    e_m = _round_edges(max(len(ps[2]) for ps in per_shard))
     h_m = max(
         (len(halo[q][p]) if halo[q][p] is not None else 0)
         for q in range(num_shards)
         for p in range(num_shards)
     )
     h_m = max(((h_m + 7) // 8) * 8, 8)
-    b_m = max(
+    b_m = _round_edges(max(
         int((owner[ps[2]] != p).sum()) for p, ps in enumerate(per_shard)
-    )
-    b_m = max(((b_m + 127) // 128) * 128, 128)
+    ))
 
     ext_src = np.zeros((num_shards, e_m), np.int32)
     dst_local = np.full((num_shards, e_m), n_m - 1, np.int32)
@@ -149,6 +160,8 @@ def build_node_sharded(graph: Graph, num_shards: int) -> Tuple[NodeShardedGraph,
     bnd_halo = np.zeros((num_shards, b_m), np.int32)
     bnd_dst = np.full((num_shards, b_m), n_m - 1, np.int32)
     bnd_mask = np.zeros((num_shards, b_m), bool)
+    row_ptr_l = np.zeros((num_shards, n_m + 1), np.int32)
+    bnd_row_ptr = np.zeros((num_shards, n_m + 1), np.int32)
 
     # halo slot lookup: for receiver p, sender q, global id s → slot pos.
     slot_of = [dict() for _ in range(num_shards)]
@@ -187,6 +200,12 @@ def build_node_sharded(graph: Graph, num_shards: int) -> Tuple[NodeShardedGraph,
         bnd_halo[p, :nb] = ext[remote] - n_m
         bnd_dst[p, :nb] = d_p[remote] - lo
         bnd_mask[p, :nb] = True
+        # Local CSR over ALL E_m/B_m slots (padding edges land in the
+        # last row) — feeds the fused Pallas kernel's block grid.
+        np.cumsum(np.bincount(dst_local[p], minlength=n_m),
+                  out=row_ptr_l[p, 1:])
+        np.cumsum(np.bincount(bnd_dst[p], minlength=n_m),
+                  out=bnd_row_ptr[p, 1:])
 
     return (
         NodeShardedGraph(
@@ -201,6 +220,8 @@ def build_node_sharded(graph: Graph, num_shards: int) -> Tuple[NodeShardedGraph,
             bnd_halo=jnp.asarray(bnd_halo),
             bnd_dst=jnp.asarray(bnd_dst),
             bnd_mask=jnp.asarray(bnd_mask),
+            row_ptr=jnp.asarray(row_ptr_l),
+            bnd_row_ptr=jnp.asarray(bnd_row_ptr),
         ),
         np.asarray(cuts),
     )
@@ -249,6 +270,19 @@ def _local_segment_sum(data, dst_local, n_m):
                                indices_are_sorted=True)
 
 
+def _seg_sum(data, dst_local, row_ptr, n_m, use_pallas):
+    """Shard-local dst-keyed segment sum: XLA scatter or the fused
+    Pallas row-block kernel (``fused_segment_sum_raw`` — the per-shard
+    CSR built by :func:`build_node_sharded` provides the block grid).
+    Callers zero padded data rows; padding edges point at the last row,
+    so containment matches the XLA formulation exactly."""
+    if use_pallas:
+        from mma_tpu.ops.pallas.fused_mma import fused_segment_sum_raw
+
+        return fused_segment_sum_raw(data, dst_local, row_ptr)
+    return _local_segment_sum(data, dst_local, n_m)
+
+
 def _interior_gather(values_local: jnp.ndarray, sg: NodeShardedGraph):
     """Per-edge source values for interior edges; boundary/padding → 0.
 
@@ -263,7 +297,8 @@ def _interior_gather(values_local: jnp.ndarray, sg: NodeShardedGraph):
     return vz[idx], is_int
 
 
-def halo_spmm(values_local: jnp.ndarray, sg: NodeShardedGraph, axis: str):
+def halo_spmm(values_local: jnp.ndarray, sg: NodeShardedGraph, axis: str,
+              use_pallas: bool = False):
     """``(A @ values)`` restricted to this shard's rows, halo-overlapped.
 
     Interior edges reduce local values (no halo dependence); boundary
@@ -271,14 +306,14 @@ def halo_spmm(values_local: jnp.ndarray, sg: NodeShardedGraph, axis: str):
     n_m = values_local.shape[0]
     halo = halo_exchange(values_local, sg, axis)
     vals_int, _ = _interior_gather(values_local, sg)
-    out = _local_segment_sum(vals_int, sg.dst_local, n_m)
+    out = _seg_sum(vals_int, sg.dst_local, sg.row_ptr, n_m, use_pallas)
     bvals = jnp.where(sg.bnd_mask[:, None], halo[sg.bnd_halo], 0.0)
-    return out + _local_segment_sum(bvals, sg.bnd_dst, n_m)
+    return out + _seg_sum(bvals, sg.bnd_dst, sg.bnd_row_ptr, n_m, use_pallas)
 
 
 def _mma_local_forward(model, params, x_local, sg: NodeShardedGraph, axis: str,
                        rng: Optional[jax.Array] = None,
-                       training: bool = False):
+                       training: bool = False, use_pallas: bool = False):
     """One shard's NodeClassifier forward (inside shard_map).
 
     ``rng``: per-shard key (already fold_in'ed with the shard index by the
@@ -304,7 +339,9 @@ def _mma_local_forward(model, params, x_local, sg: NodeShardedGraph, axis: str,
 
     # --- gc1: support halo + SpMM + bias + relu (+ dropout) -----------
     support = x_local @ params["gc1"]["w"]  # (N_m, H)
-    h = jax.nn.relu(halo_spmm(support, sg, axis) + params["gc1"]["b"])
+    h = jax.nn.relu(
+        halo_spmm(support, sg, axis, use_pallas) + params["gc1"]["b"]
+    )
     h = dropout(feat_rng if training else None, h, model.dropout_rate)
 
     # --- MMA masked aggregation (interior ‖ boundary, overlapped) -----
@@ -336,8 +373,8 @@ def _mma_local_forward(model, params, x_local, sg: NodeShardedGraph, axis: str,
 
     def both_sums(fi, fb):
         return (
-            _local_segment_sum(fi, sg.dst_local, n_m)
-            + _local_segment_sum(fb, sg.bnd_dst, n_m)
+            _seg_sum(fi, sg.dst_local, sg.row_ptr, n_m, use_pallas)
+            + _seg_sum(fb, sg.bnd_dst, sg.bnd_row_ptr, n_m, use_pallas)
         ).reshape(n_m, k, f_hid)
 
     s = both_sums(m_int, m_bnd)
@@ -404,11 +441,12 @@ def _mma_local_forward(model, params, x_local, sg: NodeShardedGraph, axis: str,
 
     # --- MMA final SpMM ------------------------------------------------
     support2 = scaled @ params["mma"]["w"]  # (N_m, C)
-    out = halo_spmm(support2, sg, axis) + params["mma"]["b"]
+    out = halo_spmm(support2, sg, axis, use_pallas) + params["mma"]["b"]
     return jax.nn.log_softmax(out, axis=-1)
 
 
-def make_node_sharded_forward(model, mesh: Mesh, axis: str = "node"):
+def make_node_sharded_forward(model, mesh: Mesh, axis: str = "node",
+                              use_pallas: bool = False):
     """Edge-balanced node-sharded forward of a NodeClassifier.
 
     Returns ``fwd(params, x_shards, sg) -> logp_shards`` with params
@@ -426,13 +464,16 @@ def make_node_sharded_forward(model, mesh: Mesh, axis: str = "node"):
     )
     def fwd(params, x_shards, sg):
         x_local, sg_local = jax.tree.map(lambda v: v[0], (x_shards, sg))
-        return _mma_local_forward(model, params, x_local, sg_local, axis)[None]
+        return _mma_local_forward(
+            model, params, x_local, sg_local, axis, use_pallas=use_pallas
+        )[None]
 
     return fwd
 
 
 def make_node_sharded_train_step(
-    model, opt, mesh: Mesh, axis: str = "node", dropout: bool = True
+    model, opt, mesh: Mesh, axis: str = "node", dropout: bool = True,
+    use_pallas: bool = False,
 ):
     """Full training step in the node-sharded regime.
 
@@ -468,7 +509,7 @@ def make_node_sharded_train_step(
         )
         logp = _mma_local_forward(
             model, params, x_local, sg_local, axis,
-            rng=local_rng, training=True,
+            rng=local_rng, training=True, use_pallas=use_pallas,
         )
         pick = jnp.take_along_axis(
             logp, labels.astype(jnp.int32)[:, None], axis=-1

@@ -144,9 +144,12 @@ def test_dp_zinc_step(setup):
     assert losses[-1] < losses[0], losses
 
 
-def test_node_sharded_forward_matches_single_device(setup):
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_node_sharded_forward_matches_single_device(setup, use_pallas):
     """Halo-exchange node-sharded forward ≡ unsharded forward (the
-    large-graph memory-scaling regime, SURVEY §5.7)."""
+    large-graph memory-scaling regime, SURVEY §5.7). ``use_pallas=True``
+    routes every shard-local reduce through the fused Pallas row-block
+    kernel on the per-shard CSR (VERDICT r2 #4)."""
     from mma_tpu.parallel.node_sharded import (
         build_node_sharded,
         make_node_sharded_forward,
@@ -164,7 +167,8 @@ def test_node_sharded_forward_matches_single_device(setup):
     x_shards = shard_node_values(np.asarray(x)[:N], cuts, n_m)
     sg = place_on_mesh(sg, mesh, "node")
 
-    fwd = make_node_sharded_forward(model, mesh, "node")
+    fwd = make_node_sharded_forward(model, mesh, "node",
+                                    use_pallas=use_pallas)
     got = fwd(params, x_shards, sg)  # (S, N_m, C)
 
     got_np = np.asarray(got)
@@ -289,6 +293,20 @@ def test_node_sharded_train_step_matches_unsharded(setup):
     p_new, _, l_sh = step(
         params, opt.init(params), x_shards, sg_m, labels_sh, tmask_sh
     )
+
+    # Pallas-kernel variant (fused per-shard CSR reduces): identical
+    # step semantics, same gate.
+    step_pl = make_node_sharded_train_step(
+        model, opt, mesh, "node", dropout=False, use_pallas=True
+    )
+    p_pl, _, l_pl = step_pl(
+        params, opt.init(params), x_shards, sg_m, labels_sh, tmask_sh
+    )
+    np.testing.assert_allclose(float(l_pl), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_pl), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
 
     np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p_new), jax.tree.leaves(p_ref)):
