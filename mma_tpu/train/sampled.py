@@ -128,23 +128,59 @@ def prepare_sampled_arrays(batch, features: np.ndarray, labels: np.ndarray):
     return x, y, seed_mask
 
 
-def stack_sampled_batches(batches, features: np.ndarray, labels: np.ndarray):
+def stack_graphs(graphs, keep_structure: bool = True):
+    """Stack same-padding :class:`Graph`s along a leading device axis.
+
+    ``chunk_hint`` is static pytree aux and data-dependent (it bounds the
+    kernel grid from the row-pointer contents), so same-shape subgraphs
+    can carry different hints — canonicalize to the elementwise max (a
+    valid bound for every member; the kernels only gate on its presence
+    and derive the actual grid from shapes) so the treedefs match.
+    """
+    if keep_structure:
+        # Canonical hint from the PAD SHAPES, not the contents: the hint
+        # is static jit-cache key material, so a content-derived value
+        # would recompile on every batch. The shape bound is valid for
+        # every member (a row block spans at most all chunks + 1 partial;
+        # total steps ≤ chunks + blocks — the kernels' universal bound).
+        from mma_tpu.constants import BLOCK_B, BLOCK_R
+
+        g0 = graphs[0]
+        n_chunks = -(-g0.n_edge // BLOCK_B)
+        n_blocks = -(-g0.n_node // BLOCK_R)
+        common = (
+            None if g0.chunk_hint is None
+            else (n_chunks + 1, n_chunks + n_blocks)
+        )
+        graphs = [dataclasses.replace(g, chunk_hint=common) for g in graphs]
+    else:
+        graphs = [
+            dataclasses.replace(
+                g, chunk_hint=None, src_perm=None, col_ptr=None,
+                src_csc=None, dst_csc=None,
+            )
+            for g in graphs
+        ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *graphs)
+
+
+def stack_sampled_batches(batches, features: np.ndarray, labels: np.ndarray,
+                          keep_structure: bool = True):
     """Stack per-device sampled batches along a leading device axis.
 
     Returns ``(x, graph, y, seed_mask)`` stacks ready for
     :func:`make_sampled_dp_step`. Graphs must share padding budgets
-    (``n_node_pad``/``n_edge_pad``); per-batch kernel structure
-    (``chunk_hint`` + CSC fields) is dropped — sharded/stacked graphs
-    run the XLA segment paths (CLAUDE.md invariant).
+    (``n_node_pad``/``n_edge_pad``).
+
+    ``keep_structure=True`` (default) keeps each subgraph's kernel
+    structure (``chunk_hint`` + CSC fields): every sampled subgraph is a
+    COMPLETE dst-sorted graph, so inside the per-device ``shard_map``
+    body the fused Pallas kernels apply exactly as unsharded — unlike
+    *edge-sharded* slices of one big graph, where the invariant
+    (CLAUDE.md) nulls the structure. ``False`` reproduces the stripped
+    XLA-path stacking (A/B + older callers).
     """
-    graphs = [
-        dataclasses.replace(
-            b.graph, chunk_hint=None, src_perm=None, col_ptr=None,
-            src_csc=None, dst_csc=None,
-        )
-        for b in batches
-    ]
-    graph = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *graphs)
+    graph = stack_graphs([b.graph for b in batches], keep_structure)
     xs, ys, sms = zip(*(prepare_sampled_arrays(b, features, labels) for b in batches))
     return (
         jnp.asarray(np.stack(xs)),
@@ -154,43 +190,51 @@ def stack_sampled_batches(batches, features: np.ndarray, labels: np.ndarray):
     )
 
 
-def make_sampled_dp_step(model, opt, mesh, axis: str = "data"):
+def make_sampled_dp_step(model, opt, mesh, axis: str = "data",
+                         use_pallas: bool = False):
     """Data-parallel sampled-minibatch step: one sampled subgraph per
     device, global seed-weighted NLL via psum, exact pooled gradients.
 
     Returns ``step(params, opt_state, x, graph, y, seed_mask, rngs) ->
     (params, opt_state, loss)`` with the leading axis of every data arg
     sharded along ``axis`` and params replicated.
+
+    ``use_pallas=True`` runs each device's subgraph through the fused
+    kernels — pass a structure-keeping stack
+    (:func:`stack_sampled_batches` with ``keep_structure=True``); the
+    shard_map spec tree is derived from the actual graph pytree, so the
+    static ``chunk_hint`` aux matches.
     """
     from functools import partial
 
     from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
-    from mma_tpu.graph.container import Graph
+    def _mk(graph):
+        # Spec tree via tree.map over the input graph: leaves → P(axis),
+        # static aux (chunk_hint) preserved so treedefs match.
+        g_spec = jax.tree.map(lambda _: P(axis), graph)
 
-    g_spec = Graph(
-        src=P(axis), dst=P(axis), edge_mask=P(axis), node_mask=P(axis),
-        deg=P(axis), row_ptr=P(axis), src_perm=None, col_ptr=None,
-        src_csc=None, dst_csc=None, chunk_hint=None,
-    )
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(axis), g_spec, P(axis), P(axis), P(axis)),
+            out_specs=P(),
+            check_rep=False,
+        )
+        def mean_nll(params, x, g, y, seed_mask, rng):
+            x_l, g_l, y_l, sm_l = jax.tree.map(lambda v: v[0], (x, g, y, seed_mask))
+            logp = model.apply(params, x_l, g_l, training=True, rng=rng[0],
+                               use_pallas=use_pallas)
+            nll = -logp[jnp.arange(y_l.shape[0]), y_l]
+            lsum = jax.lax.psum(jnp.sum(nll * sm_l), axis)
+            lcnt = jax.lax.psum(jnp.sum(sm_l), axis)
+            return lsum / jnp.maximum(lcnt, 1.0)
 
-    @partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(), P(axis), g_spec, P(axis), P(axis), P(axis)),
-        out_specs=P(),
-        check_rep=False,
-    )
-    def mean_nll(params, x, g, y, seed_mask, rng):
-        x_l, g_l, y_l, sm_l = jax.tree.map(lambda v: v[0], (x, g, y, seed_mask))
-        logp = model.apply(params, x_l, g_l, training=True, rng=rng[0])
-        nll = -logp[jnp.arange(y_l.shape[0]), y_l]
-        lsum = jax.lax.psum(jnp.sum(nll * sm_l), axis)
-        lcnt = jax.lax.psum(jnp.sum(sm_l), axis)
-        return lsum / jnp.maximum(lcnt, 1.0)
+        return mean_nll
 
     @jax.jit
     def step(params, opt_state, x, graph, y, seed_mask, rngs):
+        mean_nll = _mk(graph)
         loss, grads = jax.value_and_grad(
             lambda p: mean_nll(p, x, graph, y, seed_mask, rngs)
         )(params)

@@ -3,6 +3,7 @@
 full-graph outputs when fanout ≥ max degree)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -91,10 +92,13 @@ def test_sampled_training_learns():
     assert res["history"][-1]["acc_train"] > 0.3
 
 
-def test_sampled_dp_step_matches_pooled_single_device():
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_sampled_dp_step_matches_pooled_single_device(use_pallas):
     """make_sampled_dp_step: per-device sampled subgraphs, psum-pooled
     seed NLL — loss and post-step params match computing the same pooled
-    loss on one device."""
+    loss on one device. ``use_pallas=True`` keeps each subgraph's kernel
+    structure through the stack and runs the fused kernels per device
+    (VERDICT r2 #3: the sampled regime's native-speed path)."""
     import optax
     from mma_tpu.parallel import make_mesh
     from mma_tpu.train.optim import make_optimizer
@@ -120,10 +124,12 @@ def test_sampled_dp_step_matches_pooled_single_device():
     batches = [
         sampler.sample(s, n_node_pad=256, n_edge_pad=1024) for s in seeds
     ]
-    x, graph, y, sm = stack_sampled_batches(batches, features, labels)
+    x, graph, y, sm = stack_sampled_batches(
+        batches, features, labels, keep_structure=use_pallas
+    )
 
     mesh = make_mesh(("data",))
-    step = make_sampled_dp_step(model, opt, mesh, "data")
+    step = make_sampled_dp_step(model, opt, mesh, "data", use_pallas=use_pallas)
     rngs = jax.random.split(jax.random.PRNGKey(2), 8)
     p_dp, _, loss_dp = step(params, opt.init(params), x, graph, y, sm, rngs)
 
