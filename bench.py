@@ -54,6 +54,29 @@ def _time_fn(f, *args, iters=30, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
+def _time_step_fn(f, *args, iters=10, warmup=2, n_state=2):
+    """Time a train step, CHAINING the first ``n_state`` outputs back as
+    inputs. Timing loops of *independent* identical dispatches can be
+    overlapped (or outright deduplicated) by the async runtime — observed
+    on the axon tunnel as a physically impossible 69 µs "train step" —
+    and a chained sequence is also the honest pattern: real training
+    steps depend on the previous step's params/opt state."""
+    import jax
+
+    state = args[:n_state]
+    rest = args[n_state:]
+    out = None
+    for _ in range(warmup):
+        out = f(*state, *rest)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*state, *rest)
+        state = out[:n_state]
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
 def powerlaw_graph(n, avg_deg, seed=0):
     """Symmetric power-law-ish graph via preferential random targets."""
     rs = np.random.RandomState(seed)
@@ -144,7 +167,7 @@ def bench_node_mma_train(graph, n_feat, aggregators, seed=0):
             return optax.apply_updates(p, u), o2
 
         try:
-            dt = _time_fn(step, params, opt_state, h, iters=15)
+            dt = _time_step_fn(step, params, opt_state, h, iters=15)
             res[name] = {"time_s": dt, "edges_per_s": n_edges / dt}
         except Exception as e:
             log(f"  train path {name} failed: {type(e).__name__}: {str(e)[:200]}")
@@ -211,7 +234,7 @@ def bench_zinc_conv(batch_size=1024, seed=0):
         try:
             dt = _time_fn(jax.jit(fwd), params, state, batch, iters=15)
             res[name] = {"time_s": dt, "edges_per_s": n_edges / dt}
-            dt_t = _time_fn(step, params, opt_state, state, batch, iters=10)
+            dt_t = _time_step_fn(step, params, opt_state, state, batch, iters=10)
             res[name]["train"] = {"time_s": dt_t, "edges_per_s": n_edges / dt_t}
         except Exception as e:
             log(f"  zinc path {name} failed: {type(e).__name__}: {str(e)[:200]}")
@@ -293,15 +316,96 @@ def bench_scaling(n=65536, avg_deg=16, n_feat=64, aggregators=("mean", "mean2"))
     return out
 
 
+def node_sharded_scaling_model(
+    n=131072, avg_deg=16, n_feat=64, n_class=16, n_agg=2,
+    measured_edges_per_s=None, ici_gbps=45.0, shard_counts=(2, 4, 8),
+):
+    """Analytic scaling model for the node-sharded regime — the
+    falsifiable backing for the BASELINE "≥80% efficiency at N≥2" claim
+    on an environment with one chip (VERDICT r2 #6).
+
+    For each shard count it builds the REAL partition + halo plan
+    (``build_node_sharded`` — the exact structure a pod run executes)
+    and reports measured structural quantities:
+
+    - interior/boundary edge counts (max over shards — the straggler
+      sets step time) and the boundary fraction,
+    - halo rows and bytes sent per step per shard (3 exchanges per
+      forward: gc1 support F, MMA ``[d‖h]`` (K+1)·F, final projection C;
+      the backward transposes double it),
+
+    and model-derived times: ``t_interior = E_int_max / eps`` with
+    ``eps`` the measured single-chip train edges/s, ``t_halo =
+    bytes_max / ICI bandwidth``. The halo exchange overlaps the interior
+    reduce (the regime's design), so
+    ``t_step = max(t_interior, t_halo) + t_boundary`` and
+    ``efficiency = t_1 / (N · t_step)``. A pod run confirms or refutes
+    by measuring t_step directly; ``ici_gbps`` defaults to a v5e 1-D
+    ring link (~45 GB/s/direction) and is reported so the model can be
+    re-evaluated for other fabrics.
+    """
+    from mma_tpu.parallel.node_sharded import build_node_sharded
+
+    graph = powerlaw_graph(n, avg_deg=avg_deg, seed=1)
+    n_edges = int(np.asarray(graph.num_edges))
+    eps = measured_edges_per_s or 1.0
+    t1 = n_edges / eps
+
+    width_rows = (n_feat + (n_agg + 1) * n_feat + n_class) * 4  # bytes fwd
+    width_rows *= 2  # backward transposes reverse every exchange
+
+    out = {
+        "workload": {"n_nodes": n, "n_edges": n_edges, "n_feat": n_feat,
+                     "n_agg": n_agg, "n_class": n_class},
+        "measured_single_chip_edges_per_s": eps,
+        "ici_gbps_assumed": ici_gbps,
+        "per_n": {},
+    }
+    for s in shard_counts:
+        sg, _ = build_node_sharded(graph, s)
+        e_int = (np.asarray(sg.edge_mask).sum(1)
+                 - np.asarray(sg.bnd_mask).sum(1))
+        e_bnd = np.asarray(sg.bnd_mask).sum(1)
+        halo_rows = np.asarray(sg.send_mask).sum((1, 2))  # rows sent by p
+        bytes_per_shard = halo_rows * width_rows
+        t_int = float(e_int.max()) / eps
+        t_bnd = float(e_bnd.max()) / eps
+        t_halo = float(bytes_per_shard.max()) / (ici_gbps * 1e9)
+        t_step = max(t_int, t_halo) + t_bnd
+        out["per_n"][s] = {
+            "interior_edges_max": int(e_int.max()),
+            "interior_edges_mean": float(e_int.mean()),
+            "boundary_edges_max": int(e_bnd.max()),
+            "boundary_fraction": float(e_bnd.sum() / (e_int.sum() + e_bnd.sum())),
+            "halo_rows_sent_max": int(halo_rows.max()),
+            "halo_bytes_per_step_max": int(bytes_per_shard.max()),
+            "t_interior_s": t_int,
+            "t_halo_s": t_halo,
+            "t_boundary_s": t_bnd,
+            "halo_overlapped": bool(t_halo <= t_int),
+            "predicted_efficiency": t1 / (s * t_step),
+        }
+    return out
+
+
 def bench_ogbn_sampled(
     n=2_400_000, avg_deg=50, batch_size=1024, fanouts=(10, 10, 5),
-    n_batches=8, n_node_pad=573440, n_edge_pad=786432,
+    n_batches=10, use_pallas=True,
 ):
     """BASELINE config[4]: ogbn-products-scale synthetic power-law graph
     (2.4M nodes / ~120M directed edges) trained with neighbor sampling —
     DP over all available devices. Reports sampled-edges/s through the
-    training step (device) and through the full pipeline (host sampling
-    + device step)."""
+    training step (device) and through the full pipeline.
+
+    Native-speed design (VERDICT r2 #3): padding budgets are *calibrated*
+    from real sampled subgraph sizes (not a worst-case 573k-node pad —
+    that pad alone made the device step 9.6 s); each subgraph keeps its
+    CSR/CSC kernel structure so the fused Pallas kernels run per device
+    (``use_pallas``); a producer thread overlaps host sampling + feature
+    assembly with the device step (double buffering)."""
+    import queue as _queue
+    import threading
+
     import jax
     import jax.numpy as jnp
 
@@ -328,6 +432,20 @@ def bench_ogbn_sampled(
     features = rs.randn(65536, n_feat).astype(np.float32)  # hashed feature rows
     labels_tab = rs.randint(0, n_class, 65536)
 
+    # Calibrate padding budgets on real subgraphs (sampling is cheap
+    # relative to a mis-padded device step; 1.3× headroom + the hard
+    # worst case as a fallback resample guard).
+    t0 = time.perf_counter()
+    cal = [
+        sampler.sample(rs.randint(0, n, size=batch_size)) for _ in range(3)
+    ]
+    max_nodes = max(b.num_nodes for b in cal)
+    max_edges = max(int(np.asarray(b.graph.num_edges)) for b in cal)
+    n_node_pad = -(-int(max_nodes * 1.3) // 8192) * 8192
+    n_edge_pad = -(-int(max_edges * 1.3) // 8192) * 8192
+    log(f"  ogbn: calibrated pads nodes {max_nodes}->{n_node_pad}, "
+        f"edges {max_edges}->{n_edge_pad} in {time.perf_counter()-t0:.1f}s")
+
     devices = jax.devices()
     n_dev = len(devices)
     if n_dev < 2:
@@ -345,67 +463,94 @@ def bench_ogbn_sampled(
     opt_state = opt.init(params)
 
     mesh = make_mesh(("data",), devices=devices[:n_dev])
-    step = make_sampled_dp_step(model, opt, mesh, "data")
+    step = make_sampled_dp_step(model, opt, mesh, "data", use_pallas=use_pallas)
     rngs = jax.random.split(jax.random.PRNGKey(7), n_dev)
 
     seeds_all = rs.randint(0, n, size=(n_batches + 1, n_dev, batch_size))
-    t_sample = t_step = 0.0
-    edges_dev = 0
-    loss = None
-    for bi in range(n_batches + 1):
+
+    def make_inputs(bi):
+        """Sample + assemble one step's inputs (host side, thread-safe:
+        own RandomState stream via the precomputed seed table)."""
         t0 = time.perf_counter()
-        batches = [
-            sampler.sample(
+        batches = []
+        for d in range(n_dev):
+            bt = sampler.sample(
                 seeds_all[bi, d], n_node_pad=n_node_pad, n_edge_pad=n_edge_pad
             )
-            for d in range(n_dev)
-        ]
-        # Node features at ogbn scale: hash node id into a fixed feature
-        # table (structure, not semantics, drives the benchmark cost).
+            batches.append(bt)
+        # Hashed feature/label assembly (vectorized, id % table_size).
         xs, ys, sms = [], [], []
-        for b in batches:
-            valid = b.node_ids >= 0
-            xa = np.zeros((b.graph.n_node, n_feat), np.float32)
-            xa[valid] = features[b.node_ids[valid] % len(features)]
-            ya = np.zeros(b.graph.n_node, np.int32)
-            ya[valid] = labels_tab[b.node_ids[valid] % len(labels_tab)]
-            sa = np.zeros(b.graph.n_node, np.float32)
-            sa[: b.num_seeds] = 1.0
+        for bt in batches:
+            valid = bt.node_ids >= 0
+            xa = np.zeros((bt.graph.n_node, n_feat), np.float32)
+            xa[valid] = features[bt.node_ids[valid] % len(features)]
+            ya = np.zeros(bt.graph.n_node, np.int32)
+            ya[valid] = labels_tab[bt.node_ids[valid] % len(labels_tab)]
+            sa = np.zeros(bt.graph.n_node, np.float32)
+            sa[: bt.num_seeds] = 1.0
             xs.append(xa), ys.append(ya), sms.append(sa)
-        import dataclasses as _dc
+        from mma_tpu.train.sampled import stack_graphs
 
-        graphs = [
-            _dc.replace(b.graph, chunk_hint=None, src_perm=None, col_ptr=None,
-                        src_csc=None, dst_csc=None)
-            for b in batches
-        ]
-        graph = jax.tree.map(lambda *v: jnp.stack(v, 0), *graphs)
-        x = jnp.asarray(np.stack(xs))
-        y = jnp.asarray(np.stack(ys))
-        sm = jnp.asarray(np.stack(sms))
-        dt_s = time.perf_counter() - t0
+        graph = stack_graphs([bt.graph for bt in batches],
+                             keep_structure=use_pallas)
+        n_e = sum(int(np.asarray(bt.graph.num_edges)) for bt in batches)
+        return (
+            jnp.asarray(np.stack(xs)), graph, jnp.asarray(np.stack(ys)),
+            jnp.asarray(np.stack(sms)), n_e, time.perf_counter() - t0,
+        )
 
+    # Producer thread: host sampling/assembly for batch i+1 overlaps the
+    # device step for batch i (double buffering).
+    q = _queue.Queue(maxsize=2)
+
+    def producer():
+        for bi in range(n_batches + 1):
+            q.put(make_inputs(bi))
+        q.put(None)
+
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
+
+    t_sample = t_step = 0.0
+    t_wall0 = None
+    edges_dev = 0
+    loss = None
+    bi = 0
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        x, graph, y, sm, n_e, dt_s = item
         t0 = time.perf_counter()
         params, opt_state, loss = step(params, opt_state, x, graph, y, sm, rngs)
         jax.block_until_ready(loss)
         dt_d = time.perf_counter() - t0
         if bi == 0:
-            continue  # warmup/compile
-        t_sample += dt_s
-        t_step += dt_d
-        edges_dev += sum(int(np.asarray(b.graph.num_edges)) for b in batches)
+            t_wall0 = time.perf_counter()  # after warmup/compile
+        else:
+            t_sample += dt_s
+            t_step += dt_d
+            edges_dev += n_e
+        bi += 1
+    th.join()
+    t_wall = time.perf_counter() - t_wall0
 
     return {
         "n_nodes": n,
         "n_edges_directed": int(len(src)),
         "devices": n_dev,
         "batch_size": batch_size,
+        "n_batches": n_batches,
         "fanouts": list(fanouts),
+        "use_pallas": use_pallas,
+        "n_node_pad": n_node_pad,
+        "n_edge_pad": n_edge_pad,
         "final_loss": float(loss),
         "sampled_edges_per_s_device": edges_dev / t_step,
-        "sampled_edges_per_s_pipeline": edges_dev / (t_step + t_sample),
+        "sampled_edges_per_s_pipeline": edges_dev / t_wall,
         "host_sampling_s_per_batch": t_sample / n_batches,
         "device_step_s_per_batch": t_step / n_batches,
+        "overlap_efficiency": (t_sample + t_step) / t_wall,
     }
 
 
@@ -438,6 +583,14 @@ def main():
     if os.environ.get("MMA_BENCH_SKIP_SCALING") != "1":
         details["scaling"] = bench_scaling()
         log("scaling:", json.dumps(details["scaling"]))
+        tr = details["synthetic-large-train"]
+        best_train = max(
+            (v["edges_per_s"] for v in tr.values()), default=None
+        )
+        details["scaling"]["model"] = node_sharded_scaling_model(
+            measured_edges_per_s=best_train
+        )
+        log("scaling model:", json.dumps(details["scaling"]["model"]))
     if os.environ.get("MMA_BENCH_SKIP_OGBN") != "1":
         try:
             details["ogbn-sampled"] = bench_ogbn_sampled(n_batches=3)
