@@ -165,7 +165,8 @@ class MultiMaskConv:
             out = jax.nn.relu(out) @ lp["w"] + lp["b"]
         return out
 
-    def _messages_for_aggregator(self, pre_params_k, x_flat, e_feat, graph: Graph):
+    def _messages_for_aggregator(self, pre_params_k, x_flat, e_feat,
+                                 graph: Graph, use_pallas: bool = False):
         """Messages for one aggregator's pre-NNs, flat ``(E, T·F)``.
 
         ``x_flat``: (N, T·F) per-tower node features (tower-major lane
@@ -173,6 +174,11 @@ class MultiMaskConv:
         (T, F) minor dims far below the native (8, 128) tile. The first
         pre-NN layer's weight (msg_in, F) splits into dst/src/edge blocks
         applied per node / per edge-attribute before gathering.
+
+        ``use_pallas``: route the node-projection gathers through
+        custom-VJP wrappers whose transposes are sorted Pallas
+        segment-sums (CSR for dst, CSC for src) instead of XLA's
+        serialized scatter-add.
         """
         f, t = self.f_in, self.towers
         cdt = jnp.dtype(self.compute_dtype)
@@ -195,20 +201,62 @@ class MultiMaskConv:
             x1 = x_flat[:, :f]  # towers share features
             p_dst = x1 @ w0[:, :f, :].transpose(1, 0, 2).reshape(f, t * f)
             p_src = x1 @ w0[:, f : 2 * f, :].transpose(1, 0, 2).reshape(f, t * f)
-        msg = p_dst[graph.dst] + p_src[graph.src] + b0
+        if use_pallas:
+            from mma_tpu.ops.gather import gather_by_dst, gather_by_src
+
+            msg = gather_by_dst(p_dst, graph) + gather_by_src(p_src, graph) + b0
+        else:
+            msg = p_dst[graph.dst] + p_src[graph.src] + b0
         if self.edge_dim is not None:
             w_e = w0[:, 2 * f :, :].transpose(1, 0, 2).reshape(f, t * f)
             msg = msg + e_feat @ w_e
         if self.pre_layers > 1:
-            # Deeper pre-NNs are per-tower (rare; reference uses 1 layer).
-            parts = []
-            for ti in range(t):
-                m = msg[:, ti * f : (ti + 1) * f]
-                for lp in pre_params_k[ti][1:]:
-                    m = jax.nn.relu(m) @ lp["w"].astype(cdt) + lp["b"].astype(cdt)
-                parts.append(m)
-            msg = jnp.concatenate(parts, axis=1)
+            msg = self._deep_pre(pre_params_k, msg, cdt)
         return msg  # (E, T·F)
+
+    def _message_parts(self, pre_params_k, x_flat, e_feat, graph: Graph):
+        """Split message build for the fused min/max edge program:
+        returns ``(p_dst, hg)`` with ``msg_e = p_dst[dst_e] + hg_e`` —
+        the dst-side projection stays NODE-level (selected in-kernel
+        from the block-resident rows; the (E, T·F) message tensor never
+        reaches HBM) and ``hg = p_src[src] + b0 (+ e @ W_e)`` is one XLA
+        fusion over the edge dim. Requires ``pre_layers == 1`` (deeper
+        pre-NNs act on the combined message)."""
+        from mma_tpu.ops.gather import gather_by_src
+
+        f, t = self.f_in, self.towers
+        cdt = jnp.dtype(self.compute_dtype)
+        x_flat = x_flat.astype(cdt)
+        w0 = jnp.stack([pre_params_k[ti][0]["w"] for ti in range(t)]).astype(cdt)
+        b0 = jnp.concatenate(
+            [pre_params_k[ti][0]["b"] for ti in range(t)]
+        ).astype(cdt)
+        if self.divide_input:
+            xt = x_flat.reshape(-1, t, f)
+            p_dst = jnp.einsum("ntf,tfg->ntg", xt, w0[:, :f, :]).reshape(-1, t * f)
+            p_src = jnp.einsum(
+                "ntf,tfg->ntg", xt, w0[:, f : 2 * f, :]
+            ).reshape(-1, t * f)
+        else:
+            x1 = x_flat[:, :f]
+            p_dst = x1 @ w0[:, :f, :].transpose(1, 0, 2).reshape(f, t * f)
+            p_src = x1 @ w0[:, f : 2 * f, :].transpose(1, 0, 2).reshape(f, t * f)
+        hg = gather_by_src(p_src, graph) + b0
+        if self.edge_dim is not None:
+            w_e = w0[:, 2 * f :, :].transpose(1, 0, 2).reshape(f, t * f)
+            hg = hg + e_feat.astype(cdt) @ w_e
+        return p_dst, hg
+
+    def _deep_pre(self, pre_params_k, msg, cdt):
+        # Deeper pre-NNs are per-tower (rare; reference uses 1 layer).
+        f, t = self.f_in, self.towers
+        parts = []
+        for ti in range(t):
+            m = msg[:, ti * f : (ti + 1) * f]
+            for lp in pre_params_k[ti][1:]:
+                m = jax.nn.relu(m) @ lp["w"].astype(cdt) + lp["b"].astype(cdt)
+            parts.append(m)
+        return jnp.concatenate(parts, axis=1)  # (E, T·F)
 
     # ---- aggregation ---------------------------------------------------
 
@@ -263,7 +311,18 @@ class MultiMaskConv:
                 r = r.astype(jnp.float32)
             return jnp.where(graph.deg[:, None] > 0, r, 0.0)
         if name in ("var", "std"):
-            mean, mean_sq = ssum(msgs) / deg, ssum(msgs * msgs) / deg
+            if use_pallas and axis_name is None:
+                from mma_tpu.ops.pallas.fused_mma import fused_segment_sum_sq
+
+                c = msgs.shape[1]
+                # "highest" (exact 3-pass split): var = E[x²] − E[x]²
+                # cancels catastrophically, amplifying any split error.
+                both = fused_segment_sum_sq(
+                    jnp.where(valid, msgs, 0.0), graph, precision="highest"
+                )
+                mean, mean_sq = both[:, :c] / deg, both[:, c:] / deg
+            else:
+                mean, mean_sq = ssum(msgs) / deg, ssum(msgs * msgs) / deg
             out = mean_sq - mean * mean
             if name == "std":
                 out = jnp.sqrt(jax.nn.relu(out) + 1e-5)
@@ -373,9 +432,42 @@ class MultiMaskConv:
 
         deg = jnp.maximum(graph.deg, 1.0)[:, None]  # (N, 1) clamp_(1)
 
+        # Fused min/max edge-program fast path (the ZINC flagship shape:
+        # parity N6 shared messages, aggregators ⊆ {min, max}): message
+        # build + N2 dropout + both reduces in ONE Pallas pass — the
+        # (E, T·F) message tensor never reaches HBM, and the backward
+        # emits dc in-kernel plus one CSC-reduced src payload. The
+        # dropout PATTERN differs from the XLA path's jax.random stream
+        # (position-keyed hash), as any two rng partitions do.
+        if (use_pallas and axis_name is None and self.parity
+                and self.pre_layers == 1 and len(self.aggregators) >= 1
+                and all(a in ("min", "max") for a in self.aggregators)
+                and graph.chunk_hint is not None):
+            from mma_tpu.ops.pallas.segment_minmax import (
+                fused_minmax_edge_program,
+            )
+
+            p_dst, hg = self._message_parts(pre_nns[-1], x_flat, e_feat, graph)
+            seed = None
+            if rng is not None and self.dropout_rate > 0.0:
+                seed = jax.random.randint(rng, (1,), 0, 2**31 - 1)
+            fused = fused_minmax_edge_program(
+                p_dst, hg, graph, tuple(self.aggregators), seed=seed,
+                rate=self.dropout_rate, max_run=self.max_degree_hint,
+            )
+            cch = hg.shape[1]
+            reds = [
+                jnp.where(graph.deg[:, None] > 0,
+                          fused[:, pi * cch : (pi + 1) * cch], 0.0)
+                for pi in range(len(self.aggregators))
+            ]
+            return self._post(params, x_flat, reds, deg)
+
         if self.parity:
             # N6: every aggregator consumes the LAST aggregator's messages.
-            msgs = self._messages_for_aggregator(pre_nns[-1], x_flat, e_feat, graph)
+            msgs = self._messages_for_aggregator(
+                pre_nns[-1], x_flat, e_feat, graph, use_pallas
+            )
             msgs = dropout(rng, msgs, self.dropout_rate)
             per_agg = {a: msgs for a in self.aggregators}
         else:
@@ -384,7 +476,9 @@ class MultiMaskConv:
                 jax.random.split(rng, len(self.aggregators)) if rng is not None else None
             )
             for ki, a in enumerate(self.aggregators):
-                m = self._messages_for_aggregator(pre_nns[ki], x_flat, e_feat, graph)
+                m = self._messages_for_aggregator(
+                    pre_nns[ki], x_flat, e_feat, graph, use_pallas
+                )
                 per_agg[a] = dropout(rngs[ki] if rngs is not None else None, m, self.dropout_rate)
 
         # reds[k]: (N, T·F); scaled[s][k]: (N, T·F).
@@ -392,6 +486,11 @@ class MultiMaskConv:
             per_agg, graph, deg, use_pallas, axis_name,
             shared_messages=self.parity,
         )
+        return self._post(params, x_flat, reds, deg)
+
+    def _post(self, params, x_flat, reds, deg):
+        """Scalers + tower reassembly + post-NNs + final lin."""
+        t, f = self.towers, self.f_in
         scaled = [self._scale(r, deg) for r in reds]  # [k][s] → transpose below
 
         # Reassemble the reference's per-tower feature order

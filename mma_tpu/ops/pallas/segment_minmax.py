@@ -153,6 +153,259 @@ def _minmax_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref,
             out_ref[:, pi * ch : (pi + 1) * ch] = comb(cur, contrib)
 
 
+
+def _compiler_params():
+    """Per-kernel VMEM request matching the block budget (the budget is
+    an env knob — see ``mma_tpu.constants.VMEM_BUDGET_MB``); None at the
+    default budget (the platform's 16 MB scoped default suffices)."""
+    from mma_tpu.constants import VMEM_BUDGET_MB
+
+    if VMEM_BUDGET_MB <= 10:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=(VMEM_BUDGET_MB + 16) * 2**20
+    )
+
+
+def _dropout_keep(seed, pos, lane, rate):
+    """Position-keyed dropout mask, (B, C) float32 ∈ {0, 1/(1-rate)}.
+
+    A murmur3-finalizer hash of (seed, absolute edge index, lane) — NOT
+    ``pltpu.prng_*`` (no interpret-mode lowering; and the stateful PRNG
+    would have to replay identically across the differently-blocked
+    forward/backward grids). Position keying makes the mask a pure
+    function of (seed, edge, lane): the backward recomputes it exactly,
+    any block size. Plain int32 ops (wrapping mult is two's-complement
+    on TPU and in interpret mode), VPU-only, zero HBM traffic. Bit
+    quality is far beyond what a dropout mask needs.
+    """
+    x = (pos * jnp.int32(-1640531527) + lane * jnp.int32(-2048144789)
+         + seed).astype(jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    u = (x & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    thresh = jnp.int32(int(rate * 2147483648.0))
+    keep = (u >= thresh).astype(jnp.float32)
+    return keep * jnp.float32(1.0 / (1.0 - rate))
+
+
+def _minmax_prog_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref, seed_ref,
+                        rs_ref, re_ref, hg_ref, c_ref, out_ref, *,
+                        block_b, scan_steps, ops, c_passes, rate,
+                        has_dropout):
+    """Fused min/max EDGE PROGRAM forward: message build + N2 dropout +
+    segmented reduce in one pass.
+
+    ``x_e = m_e ⊙ (hg_e + c[dst_e])`` then the doubling-scan min/max —
+    ``c`` rows are block-resident (dst rows ARE the output block's
+    rows), selected per edge by an exact 3-term one-hot MXU select, so
+    the (E, C) message tensor never exists in HBM; ``m`` is the
+    position-keyed dropout mask (torch ``F.dropout`` zeros participate
+    in min/max as 0 — reference semantics, the mask multiplies AFTER
+    the add). Replaces the reference's message + ``torch_scatter``
+    reduce pair (``graph_regression/mma_conv.py:138-176``) as one
+    differentiable unit.
+    """
+    i = pl.program_id(0)
+    r = bstep_ref[i]
+    c = cstep_ref[i]
+    start, end = starts_ref[r], ends_ref[r]
+    num_chunks = pl.cdiv(end, block_b) - start // block_b
+    ch = hg_ref.shape[1]
+
+    @pl.when(c == 0)
+    def _():
+        for pi, op in enumerate(ops):
+            out_ref[:, pi * ch : (pi + 1) * ch] = jnp.full(
+                (out_ref.shape[0], ch), _NEUTRAL[op], jnp.float32
+            )
+
+    @pl.when((start < end) & (c < num_chunks))
+    def _():
+        g = start // block_b + c
+        chunk_lo = g * block_b
+        chunk_hi = chunk_lo + block_b
+        rs = rs_ref[0]  # (1, R)
+        re = re_ref[0]
+        pos = chunk_lo + jax.lax.broadcasted_iota(jnp.int32, (block_b, 1), 0)
+        cnt = jnp.sum((pos >= rs).astype(jnp.int32), axis=1, keepdims=True)
+        covered = (pos >= start) & (pos < end)
+        ids = jnp.where(covered, cnt - 1, -1)  # (B, 1)
+        block_r = out_ref.shape[0]
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (1, block_r), 1)
+        exp_onehot = (ids == r_iota).astype(jnp.float32)  # (B, R)
+
+        def sel(terms):
+            acc = jnp.zeros((block_b, terms[0].shape[1]), jnp.float32)
+            for hi in terms:
+                acc += jax.lax.dot_general(
+                    exp_onehot, hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+            return acc
+
+        x = hg_ref[:].astype(jnp.float32) + sel(
+            _split_terms(c_ref[:], c_passes)
+        )
+        if has_dropout:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
+            x = x * _dropout_keep(seed_ref[0], pos, lane, rate)
+
+        accs = {op: x for op in ops}
+        for k in range(scan_steps):
+            sh = 1 << k
+            if sh >= block_b:
+                break
+            ids_sh = _shift_down(ids, sh, jnp.int32(-7))
+            same = ids == ids_sh
+            if "min" in accs:
+                lo = _shift_down(accs["min"], sh, jnp.inf)
+                accs["min"] = jnp.where(same, jnp.minimum(accs["min"], lo), accs["min"])
+            if "max" in accs:
+                hi = _shift_down(accs["max"], sh, -jnp.inf)
+                accs["max"] = jnp.where(same, jnp.maximum(accs["max"], hi), accs["max"])
+
+        valid_r = (re > rs) & (rs < chunk_hi) & (re > chunk_lo)  # (1, R)
+        pos_r = jnp.minimum(re, chunk_hi) - 1
+        onehot = ((pos == pos_r) & valid_r).astype(jnp.float32)  # (B, R)
+        hits = jax.lax.dot_general(
+            onehot, jnp.ones((block_b, 1), jnp.float32),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # (R, 1)
+        for pi, op in enumerate(ops):
+            s = _select_last(onehot, accs[op], 3)
+            contrib = jnp.where(hits > 0.5, s, _NEUTRAL[op])
+            cur = out_ref[:, pi * ch : (pi + 1) * ch]
+            comb = jnp.minimum if op == "min" else jnp.maximum
+            out_ref[:, pi * ch : (pi + 1) * ch] = comb(cur, contrib)
+
+
+def _minmax_prog_bwd_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref,
+                            nreal_ref, seed_ref, rs_ref, re_ref, hg_ref,
+                            c_ref, out_ref, ct_ref, grad_ref, dc_ref,
+                            hit_before, *, block_b, scan_steps, ops,
+                            passes, c_passes, rate, has_dropout):
+    """Backward of the fused min/max edge program, one edge pass.
+
+    Recomputes ``x = m ⊙ (hg + c[dst])`` exactly (the c-select is a pure
+    one-hot selection of exact 3-term bf16 splits — no accumulation, so
+    recompute is bitwise; the mask is position-keyed), routes each
+    cotangent to the FIRST hit as in ``_minmax_bwd_kernel``, and emits
+
+    - ``grad`` — per-edge ``dhg = routed_ct ⊙ m`` (the payload the
+      src-keyed CSC reduce and the edge-feature VJP consume),
+    - ``dc`` — dst-keyed reduction of the same, block-accumulated
+      (dst rows are block-resident; no XLA segment-sum pass).
+    """
+    i = pl.program_id(0)
+    r = bstep_ref[i]
+    c = cstep_ref[i]
+    start, end = starts_ref[r], ends_ref[r]
+    n_real = nreal_ref[0]
+    num_chunks = pl.cdiv(end, block_b) - start // block_b
+    ch = hg_ref.shape[1]
+
+    @pl.when(c == 0)
+    def _():
+        hit_before[:] = jnp.zeros_like(hit_before)
+        dc_ref[:] = jnp.zeros_like(dc_ref)
+
+    @pl.when((start < end) & (c < num_chunks))
+    def _():
+        g = start // block_b + c
+        chunk_lo = g * block_b
+        rs = rs_ref[0]
+        re = re_ref[0]
+        pos = chunk_lo + jax.lax.broadcasted_iota(jnp.int32, (block_b, 1), 0)
+        cnt = jnp.sum((pos >= rs).astype(jnp.int32), axis=1, keepdims=True)
+        covered = (pos >= start) & (pos < end)
+        ids = jnp.where(covered, cnt - 1, -1)
+        block_r = out_ref.shape[0]
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (1, block_r), 1)
+        exp_onehot = (ids == r_iota).astype(jnp.float32)
+        shared_start = (c == 0) & (start % block_b != 0)
+
+        def sel(terms):
+            acc = jnp.zeros((block_b, terms[0].shape[1]), jnp.float32)
+            for hi in terms:
+                acc += jax.lax.dot_general(
+                    exp_onehot, hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+            return acc
+
+        # Exact recompute of the forward's x.
+        x = hg_ref[:].astype(jnp.float32) + sel(
+            _split_terms(c_ref[:], c_passes)
+        )
+        m = None
+        if has_dropout:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
+            m = _dropout_keep(seed_ref[0], pos, lane, rate)
+            x = x * m
+        out_e = sel(_split_terms(out_ref[:], 3))  # exact fwd-output select
+        ct_e = sel(_split_terms(ct_ref[:], passes))
+        real = covered & (pos < n_real)
+
+        grad = jnp.zeros((block_b, ch), jnp.float32)
+        new_counts = []
+        for pi, _op in enumerate(ops):
+            sl = slice(pi * ch, (pi + 1) * ch)
+            hit = ((x == out_e[:, sl]) & real).astype(jnp.float32)
+            incl = hit
+            for k in range(scan_steps):
+                sh = 1 << k
+                if sh >= block_b:
+                    break
+                ids_sh = _shift_down(ids, sh, jnp.int32(-7))
+                same = ids == ids_sh
+                lo = _shift_down(incl, sh, 0.0)
+                incl = jnp.where(same, jnp.maximum(incl, lo), incl)
+            ids_sh1 = _shift_down(ids, 1, jnp.int32(-7))
+            excl = jnp.where(ids == ids_sh1, _shift_down(incl, 1, 0.0), 0.0)
+            before_e = sel([hit_before[:, sl]])
+            first = hit * (1.0 - jnp.minimum(excl, 1.0)) * (before_e <= 0.5)
+            grad += ct_e[:, sl] * first
+            new_counts.append(jax.lax.dot_general(
+                exp_onehot, hit, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ))
+        hit_before[:] += (jnp.concatenate(new_counts, axis=1)
+                          if len(ops) > 1 else new_counts[0])
+
+        if has_dropout:
+            grad = grad * m
+        # dc: dst-keyed reduce of grad — dst rows are block-resident.
+        # grad has ≤ P nonzeros per (row-run, channel), so the 3-term
+        # split contraction is a near-pure selection-sum (≈ f32 exact).
+        dc_acc = jnp.zeros((block_r, ch), jnp.float32)
+        gterm = grad
+        for _ in range(3):
+            hi = gterm.astype(jnp.bfloat16).astype(jnp.float32)
+            dc_acc += jax.lax.dot_general(
+                exp_onehot, hi, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            gterm = gterm - hi
+        dc_ref[:] += dc_acc
+
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (block_b, 1), 0)
+        covered_col = ((chunk_lo + col_iota >= start)
+                       & (chunk_lo + col_iota < end))
+        prev = grad_ref[:]
+        grad_ref[:] = jnp.where(
+            covered_col, grad, jnp.where(shared_start, prev, 0.0)
+        )
+
+
 def _minmax_bwd_kernel(bstep_ref, cstep_ref, starts_ref, ends_ref, nreal_ref,
                        rs_ref, re_ref, data_ref, out_ref, ct_ref, grad_ref,
                        hit_before, *, block_b, scan_steps, ops, passes,
@@ -315,6 +568,7 @@ def _fused_segment_minmax(data, row_ptr, *, block_r, block_b, interpret,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, len(ops) * ch), jnp.float32),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(block_of, chunk_of, starts, ends, rs2d, re2d, data)[:n]
 
 
@@ -381,7 +635,256 @@ def _fused_segment_minmax_bwd(data, out, ct, row_ptr, n_real, *, block_r,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((e_pad, ch), jnp.float32),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(block_of, chunk_of, starts, ends, n_real, rs2d, re2d, data, out_p, ct_p)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_r", "block_b", "interpret", "ops", "scan_steps",
+                     "c_passes", "rate", "has_dropout"),
+)
+def _fused_minmax_prog(hg, c, row_ptr, seed, *, block_r, block_b, interpret,
+                       ops, scan_steps, c_passes, rate, has_dropout):
+    e_pad, ch = hg.shape
+    assert e_pad % block_b == 0
+    (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
+     ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
+    n_rows = int(num_blocks) * block_r
+    rp_pad = jnp.pad(row_ptr, (0, n_rows + 1 - row_ptr.shape[0]),
+                     constant_values=e_pad)
+    rs2d = rp_pad[:n_rows].reshape(num_blocks, 1, block_r)
+    re2d = rp_pad[1 : n_rows + 1].reshape(num_blocks, 1, block_r)
+    c_p = jnp.pad(c, ((0, n_rows - c.shape[0]), (0, 0)))
+
+    def chunk_index(i, bstep, cstep, s, e, sd):
+        g = s[bstep[i]] // block_b + cstep[i]
+        return jnp.clip(g, 0, num_chunks - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(total_steps,),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_r),
+                         lambda i, b, c_, s, e, sd: (b[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_r),
+                         lambda i, b, c_, s, e, sd: (b[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_b, ch),
+                lambda i, b, c_, s, e, sd: (chunk_index(i, b, c_, s, e, sd), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((block_r, ch), lambda i, b, c_, s, e, sd: (b[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_r, len(ops) * ch), lambda i, b, c_, s, e, sd: (b[i], 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _minmax_prog_kernel, block_b=block_b, scan_steps=scan_steps,
+            ops=ops, c_passes=c_passes, rate=rate, has_dropout=has_dropout,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, len(ops) * ch), jnp.float32),
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(block_of, chunk_of, starts, ends, seed, rs2d, re2d, hg, c_p)[:n]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_r", "block_b", "interpret", "ops", "scan_steps",
+                     "passes", "c_passes", "rate", "has_dropout"),
+)
+def _fused_minmax_prog_bwd(hg, c, out, ct, row_ptr, n_real, seed, *, block_r,
+                           block_b, interpret, ops, scan_steps, passes,
+                           c_passes, rate, has_dropout):
+    e_pad, ch = hg.shape
+    assert e_pad % block_b == 0
+    (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
+     ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
+    n_rows = int(num_blocks) * block_r
+    rp_pad = jnp.pad(row_ptr, (0, n_rows + 1 - row_ptr.shape[0]),
+                     constant_values=e_pad)
+    rs2d = rp_pad[:n_rows].reshape(num_blocks, 1, block_r)
+    re2d = rp_pad[1 : n_rows + 1].reshape(num_blocks, 1, block_r)
+    pc = len(ops) * ch
+    c_p = jnp.pad(c, ((0, n_rows - c.shape[0]), (0, 0)))
+    out_p = jnp.pad(out, ((0, n_rows - out.shape[0]), (0, 0)))
+    out_p = jnp.where(jnp.isfinite(out_p), out_p, 0.0)
+    ct_p = jnp.pad(ct, ((0, n_rows - ct.shape[0]), (0, 0)))
+
+    def chunk_index(i, bstep, cstep, s, e, nr, sd):
+        g = s[bstep[i]] // block_b + cstep[i]
+        return jnp.clip(g, 0, num_chunks - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(total_steps,),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_r),
+                         lambda i, b, c_, s, e, nr, sd: (b[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_r),
+                         lambda i, b, c_, s, e, nr, sd: (b[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_b, ch),
+                lambda i, b, c_, s, e, nr, sd: (
+                    chunk_index(i, b, c_, s, e, nr, sd), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((block_r, ch),
+                         lambda i, b, c_, s, e, nr, sd: (b[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, pc),
+                         lambda i, b, c_, s, e, nr, sd: (b[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, pc),
+                         lambda i, b, c_, s, e, nr, sd: (b[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (block_b, ch),
+                lambda i, b, c_, s, e, nr, sd: (
+                    chunk_index(i, b, c_, s, e, nr, sd), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((block_r, ch),
+                         lambda i, b, c_, s, e, nr, sd: (b[i], 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((block_r, pc), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _minmax_prog_bwd_kernel, block_b=block_b, scan_steps=scan_steps,
+            ops=ops, passes=passes, c_passes=c_passes, rate=rate,
+            has_dropout=has_dropout,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((e_pad, ch), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, ch), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(block_of, chunk_of, starts, ends, n_real, seed, rs2d, re2d, hg, c_p,
+      out_p, ct_p)
+
+
+def _adaptive_block_b(block_b, per_row_bytes, budget=None):
+    from mma_tpu.constants import VMEM_BUDGET_MB
+
+    budget = budget or VMEM_BUDGET_MB * 2**20
+    bb = block_b
+    while bb > 128 and bb * per_row_bytes > budget:
+        bb //= 2
+    return bb
+
+
+def _adaptive_block_r(ch, p, block_r):
+    """block_r stays at the caller's value (128): the one-hot selects
+    cost O(E · block_r · C) MXU work — growing the row block multiplies
+    per-chunk select passes and measured STRICTLY worse on TPU (ZINC
+    bf16 train 3.14M → 2.45M edges/s at block_r=512) even though it cuts
+    row-block grid steps. Returns (block_r, row-resident bytes) so
+    block_b sizing can subtract the row-block live set."""
+    row_cost = 4 * ch * (5 + 6 * p)
+    return block_r, block_r * row_cost
+
+
+def fused_minmax_edge_program(
+    c: jnp.ndarray,
+    hg: jnp.ndarray,
+    graph: Graph,
+    ops: tuple = ("min", "max"),
+    *,
+    seed: "jnp.ndarray | None" = None,
+    rate: float = 0.5,
+    max_run: "int | None" = None,
+    block_r: int = BLOCK_R,
+    block_b: int = BLOCK_B,
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """Fused min/max edge program: message build + dropout + reduce.
+
+    ``out[i, p·C:(p+1)·C] = op_p over {e: dst_e = i} of
+    m_e ⊙ (hg_e + c[i])`` — ``c`` (N, C) is the dst-side node
+    projection (block-resident in-kernel; the (E, C) message tensor
+    never reaches HBM), ``hg`` (E, C) the per-edge remainder
+    (src-gather + bias + edge term, built by one XLA fusion), ``m`` the
+    N2 dropout mask (``seed`` (1,) int32 enables it; position-keyed
+    hash, exactly recomputed in the backward — the pattern differs from
+    the XLA path's ``jax.random`` one, as any two rng streams do).
+
+    Backward: one fused pass emits the routed per-edge payload
+    ``dhg`` (feeds the CSC src reduce + edge-feature VJPs upstream) and
+    the block-accumulated ``dc`` — no XLA scatter anywhere. Replaces
+    ``/root/reference/graph_regression/mma_conv.py:138-176`` (message +
+    scatter reduce) as one differentiable unit.
+    """
+    e, ch = hg.shape
+    assert e == graph.n_edge and c.shape[1] == ch, (hg.shape, c.shape)
+    assert all(o in ("min", "max") for o in ops) and len(ops) >= 1
+    has_dropout = seed is not None
+    seed_arr = (seed.reshape(1).astype(jnp.int32) if has_dropout
+                else jnp.zeros(1, jnp.int32))
+    is_bf16 = hg.dtype == jnp.bfloat16
+    passes = 1 if is_bf16 else _PASSES[precision]
+    # The backward's hit test needs the recompute EXACT: the c-select
+    # must reconstruct c bitwise (pure selection of split terms).
+    c_passes = 1 if c.dtype == jnp.bfloat16 else 3
+    from mma_tpu.constants import VMEM_BUDGET_MB
+
+    p = len(ops)
+    block_r, row_bytes = _adaptive_block_r(ch, p, block_r)
+    rem = VMEM_BUDGET_MB * 2**20 - row_bytes
+    bb_fwd = _adaptive_block_b(block_b, 4 * ch * (5 + 3 * p), budget=rem)
+    bb_bwd = _adaptive_block_b(block_b, 4 * ch * (8 + 5 * p), budget=rem)
+    fwd_scan = _scan_steps_for(graph, max_run, bb_fwd)
+    bwd_scan = _scan_steps_for(graph, max_run, bb_bwd)
+    interpret = jax.devices()[0].platform != "tpu"
+
+    def _run(c_, hg_):
+        (hg_p,), _ = _pad_edges([hg_], graph.dst, e, graph.n_node, bb_fwd)
+        return _fused_minmax_prog(
+            hg_p, c_.astype(jnp.float32), graph.row_ptr, seed_arr,
+            block_r=block_r, block_b=bb_fwd, interpret=interpret, ops=ops,
+            scan_steps=fwd_scan, c_passes=c_passes, rate=rate,
+            has_dropout=has_dropout,
+        )
+
+    @jax.custom_vjp
+    def _op(c_, hg_):
+        return _run(c_, hg_)
+
+    def _fwd(c_, hg_):
+        out = _run(c_, hg_)
+        return out, (c_, hg_, out, graph, seed_arr)
+
+    def _bwd(res, ct):
+        c_, hg_, out, g, sd = res
+        (hg_p,), _ = _pad_edges([hg_], g.dst, e, g.n_node, bb_bwd)
+        n_real = g.num_edges.astype(jnp.int32).reshape(1)
+        grad, dc = _fused_minmax_prog_bwd(
+            hg_p, c_.astype(jnp.float32), out, ct.astype(jnp.float32),
+            g.row_ptr, n_real, sd,
+            block_r=block_r, block_b=bb_bwd, interpret=interpret, ops=ops,
+            scan_steps=bwd_scan, passes=passes, c_passes=c_passes,
+            rate=rate, has_dropout=has_dropout,
+        )
+        return (dc[: c.shape[0]].astype(c.dtype),
+                grad[:e].astype(hg.dtype))
+
+    _op.defvjp(_fwd, _bwd)
+    return _op(c, hg)
 
 
 def _scan_steps_for(graph: Graph, max_run, block_b) -> int:
@@ -432,6 +935,20 @@ def fused_segment_minmax(
     # 3 bf16 terms reconstruct any f32; bf16 values need one.
     data_passes = 1 if is_bf16 else 3
     scan_steps = _scan_steps_for(graph, max_run, block_b)
+    # The bwd kernel's live VMEM set is ~(6 + 5·P) f32 arrays of
+    # (block_b, ch) (selects, scan temporaries, grad, hit masks) — at
+    # ch=375, P=2, block_b=1024 that's ~24.8 MB vs the 16 MB default
+    # scoped limit. Blocks size themselves against VMEM_BUDGET_MB
+    # (launchers that raise the XLA scoped limit export a bigger budget;
+    # fewer, bigger steps — per-step overhead dominates wide channels).
+    block_r, row_bytes = _adaptive_block_r(ch, len(ops), block_r)
+    from mma_tpu.constants import VMEM_BUDGET_MB
+
+    block_b_bwd = _adaptive_block_b(
+        block_b, 4 * ch * (6 + 5 * len(ops)),
+        budget=VMEM_BUDGET_MB * 2**20 - row_bytes,
+    )
+    bwd_scan_steps = _scan_steps_for(graph, max_run, block_b_bwd)
     interpret = jax.devices()[0].platform != "tpu"
 
     def _run(d):
@@ -448,17 +965,18 @@ def fused_segment_minmax(
 
     def _fwd(d):
         out = _run(d)
-        return out, (d, out)
+        # graph in residuals, not closure (shard_map tracer safety).
+        return out, (d, out, graph)
 
     def _bwd(res, ct):
-        d, out = res
-        (d_p,), _ = _pad_edges([d], graph.dst, e, graph.n_node, block_b)
-        n_real = graph.num_edges.astype(jnp.int32).reshape(1)
+        d, out, g = res
+        (d_p,), _ = _pad_edges([d], g.dst, e, g.n_node, block_b_bwd)
+        n_real = g.num_edges.astype(jnp.int32).reshape(1)
         grad = _fused_segment_minmax_bwd(
-            d_p, out, ct.astype(jnp.float32), graph.row_ptr, n_real,
-            block_r=block_r, block_b=block_b, interpret=interpret,
+            d_p, out, ct.astype(jnp.float32), g.row_ptr, n_real,
+            block_r=block_r, block_b=block_b_bwd, interpret=interpret,
             passes=passes, data_passes=data_passes, ops=ops,
-            scan_steps=scan_steps,
+            scan_steps=bwd_scan_steps,
         )
         return (grad[:e].astype(d.dtype),)
 

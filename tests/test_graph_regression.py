@@ -257,6 +257,34 @@ def test_conv_pallas_matches_xla_minmax(parity):
         )
 
 
+@pytest.mark.parametrize("parity", [True, False])
+def test_conv_pallas_matches_xla_var_std(parity):
+    """var/std through the fused sum+sum-of-squares kernel (one edge
+    pass) matches the two-XLA-segment-sum formulation — value and
+    gradients (reference scatter reduce surface:
+    graph_regression/mma_conv.py:167-172)."""
+    _, _, graph = random_symmetric_graph(60, p=0.08, seed=5)
+    conv, params, _ = _conv_and_params(
+        ("var", "std"), ("identity", "linear"), parity
+    )
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(graph.n_node, F).astype(np.float32))
+    e = jnp.asarray(rs.randn(graph.n_edge, EDGE_DIM).astype(np.float32))
+    ct = jnp.asarray(rs.randn(graph.n_node, F).astype(np.float32))
+
+    def loss(p, x_, up):
+        out = conv.apply(p, x_, graph, edge_attr=e, use_pallas=up)
+        return jnp.sum(jnp.where(graph.node_mask[:, None], out, 0.0) * ct)
+
+    vx, gx = jax.value_and_grad(loss, argnums=(0, 1))(params, x, False)
+    vp, gp = jax.value_and_grad(loss, argnums=(0, 1))(params, x, True)
+    np.testing.assert_allclose(float(vp), float(vx), rtol=1e-5)
+    for a_, b_ in zip(jax.tree.leaves(gp), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), rtol=1e-4, atol=1e-5
+        )
+
+
 @pytest.mark.parametrize("use_pallas", [False, True])
 def test_conv_bf16_pipeline_close_to_f32(use_pallas):
     """compute_dtype='bfloat16' runs the message build + reduces in bf16

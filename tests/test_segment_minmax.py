@@ -99,6 +99,28 @@ def test_minmax_grad_routes_ties_to_first_hit():
     np.testing.assert_allclose(grad, want, rtol=1e-6, atol=1e-6)
 
 
+def test_minmax_wide_channel_grad():
+    """ZINC-width channels (towers: 5·75 = 375 lanes) force the adaptive
+    backward block_b (the full 1024-edge block would blow the 16 MB
+    scoped-VMEM limit at this width); values AND grads must still match
+    XLA, including runs spanning the smaller chunks."""
+    _, _, g = random_symmetric_graph(60, p=0.3, seed=11)
+    rs = np.random.RandomState(11)
+    data = jnp.asarray(rs.randn(g.n_edge, 375).astype(np.float32))
+    ct = jnp.asarray(rs.randn(g.n_node, 750).astype(np.float32))
+    sel = (g.node_mask & (g.deg > 0))[:, None]
+
+    def loss(fn):
+        return lambda d: jnp.sum(jnp.where(sel, fn(d), 0.0) * ct)
+
+    out = loss(lambda d: fused_segment_minmax(d, g, ("min", "max")))
+    ref = loss(lambda d: _xla_minmax(d, g, ("min", "max")))
+    np.testing.assert_allclose(out(data), ref(data), rtol=1e-5)
+    gf = np.asarray(jax.grad(out)(data))
+    gx = np.asarray(jax.grad(ref)(data))
+    np.testing.assert_allclose(gf, gx, rtol=1e-5, atol=1e-5)
+
+
 def test_minmax_max_run_cap():
     """Capping the scan at the true max degree changes nothing on real
     rows (the padding node's run may exceed the cap; its row is masked)."""
@@ -110,3 +132,101 @@ def test_minmax_max_run_cap():
     b = np.asarray(fused_segment_minmax(data, g, ("min", "max"), max_run=maxdeg))
     nm = np.asarray(g.node_mask)
     np.testing.assert_array_equal(a[nm], b[nm])
+
+
+# ---- fused min/max EDGE PROGRAM (message build + dropout + reduce) ----
+
+from mma_tpu.ops.pallas.segment_minmax import (  # noqa: E402
+    _dropout_keep,
+    fused_minmax_edge_program,
+)
+
+
+def _ref_prog(c, hg, g, ops, mask=None):
+    """Reference: materialize x = m ⊙ (hg + c[dst]) then XLA min/max."""
+    x = hg + c[np.asarray(g.dst)]
+    if mask is not None:
+        x = x * mask
+    return _xla_minmax(jnp.asarray(x), g, ops)
+
+
+def test_minmax_edge_program_matches_xla():
+    """Dropout off: the fused edge program (in-kernel c[dst] select) ==
+    materialized message + XLA segment min/max — values and BOTH input
+    grads (dc via the in-kernel block reduce, dhg via first-hit routing;
+    continuous data so ties are measure-zero)."""
+    _, _, g = random_symmetric_graph(80, p=0.1, seed=13)
+    rs = np.random.RandomState(13)
+    c = jnp.asarray(rs.randn(g.n_node, 24).astype(np.float32))
+    hg = jnp.asarray(rs.randn(g.n_edge, 24).astype(np.float32))
+    ct = jnp.asarray(rs.randn(g.n_node, 48).astype(np.float32))
+    sel = (g.node_mask & (g.deg > 0))[:, None]
+
+    def loss(fn):
+        return lambda args: jnp.sum(jnp.where(sel, fn(*args), 0.0) * ct)
+
+    fused = loss(lambda c_, h_: fused_minmax_edge_program(c_, h_, g, ("min", "max")))
+    ref = loss(lambda c_, h_: _ref_prog(c_, h_, g, ("min", "max")))
+    np.testing.assert_allclose(fused((c, hg)), ref((c, hg)), rtol=1e-6)
+    gf = jax.grad(fused)((c, hg))
+    gx = jax.grad(ref)((c, hg))
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_minmax_edge_program_dropout():
+    """Dropout on: matches a reference that applies the SAME position-
+    keyed mask (the hash is pure and importable), forward and grads;
+    deterministic across calls; keep-rate ≈ 1-rate."""
+    _, _, g = random_symmetric_graph(60, p=0.12, seed=17)
+    rs = np.random.RandomState(17)
+    ch = 16
+    c = jnp.asarray(rs.randn(g.n_node, ch).astype(np.float32))
+    hg = jnp.asarray(rs.randn(g.n_edge, ch).astype(np.float32))
+    ct = jnp.asarray(rs.randn(g.n_node, 2 * ch).astype(np.float32))
+    seed = jnp.asarray([1234], jnp.int32)
+    sel = (g.node_mask & (g.deg > 0))[:, None]
+
+    pos = jnp.arange(g.n_edge, dtype=jnp.int32)[:, None]
+    lane = jnp.arange(ch, dtype=jnp.int32)[None, :]
+    mask = _dropout_keep(seed[0], pos, lane, 0.5)
+    assert 0.35 < float((mask > 0).mean()) < 0.65
+
+    def loss(fn):
+        return lambda args: jnp.sum(jnp.where(sel, fn(*args), 0.0) * ct)
+
+    fused = loss(lambda c_, h_: fused_minmax_edge_program(
+        c_, h_, g, ("min", "max"), seed=seed, rate=0.5))
+    ref = loss(lambda c_, h_: _ref_prog(c_, h_, g, ("min", "max"),
+                                        mask=np.asarray(mask)))
+    v1, v2 = fused((c, hg)), fused((c, hg))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_allclose(v1, ref((c, hg)), rtol=1e-6)
+    gf = jax.grad(fused)((c, hg))
+    gx = jax.grad(ref)((c, hg))
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_minmax_edge_program_wide_channels():
+    """ZINC width (375 lanes) exercises the adaptive fwd/bwd block_b."""
+    _, _, g = random_symmetric_graph(50, p=0.25, seed=19)
+    rs = np.random.RandomState(19)
+    c = jnp.asarray(rs.randn(g.n_node, 375).astype(np.float32))
+    hg = jnp.asarray(rs.randn(g.n_edge, 375).astype(np.float32))
+    ct = jnp.asarray(rs.randn(g.n_node, 750).astype(np.float32))
+    sel = (g.node_mask & (g.deg > 0))[:, None]
+
+    def loss(fn):
+        return lambda args: jnp.sum(jnp.where(sel, fn(*args), 0.0) * ct)
+
+    fused = loss(lambda c_, h_: fused_minmax_edge_program(c_, h_, g, ("min", "max")))
+    ref = loss(lambda c_, h_: _ref_prog(c_, h_, g, ("min", "max")))
+    np.testing.assert_allclose(fused((c, hg)), ref((c, hg)), rtol=1e-5)
+    gf = jax.grad(fused)((c, hg))
+    gx = jax.grad(ref)((c, hg))
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
