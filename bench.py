@@ -190,8 +190,18 @@ def bench_zinc_conv(batch_size=1024, seed=0):
 
     ds = load_zinc("train", subset_size=batch_size)
     avg = compute_avg_deg(jnp.asarray(ds.degree_histogram()), parity=True)
+    # Right-size the padding budgets to the actual batch contents (the
+    # deterministic first batch): the old 40·B/104·B worst-case budgets
+    # nearly doubled the kernel grids (row blocks scale with n_node_pad,
+    # and every block costs a grid step even with no edges).
+    n_need = int(ds.num_nodes.sum()) + 1
+    e_need = int(sum(len(s_) for s_ in ds.edge_src))
     batch = next(
-        ds.batches(batch_size, n_node=batch_size * 40, n_edge=batch_size * 104)
+        ds.batches(
+            batch_size,
+            n_node=-(-n_need // 1024) * 1024,
+            n_edge=-(-e_need // 1024) * 1024,
+        )
     )
 
     res = {}

@@ -1,0 +1,1 @@
+"""Training/eval CLIs."""

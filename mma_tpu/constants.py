@@ -6,8 +6,19 @@ BLOCK_R / BLOCK_B are the fused-kernel row-block and edge-chunk sizes
 EDGE_PAD_MULTIPLE is a multiple of BLOCK_B so edge arrays tile exactly.
 """
 
+import os
+
 BLOCK_R = 128  # output rows per kernel block
 BLOCK_B = 1024  # edges per kernel chunk (8 × 128-lane sub-chunks)
 BLOCK_SUB = 128  # contraction width per MXU pass
 NODE_PAD_MULTIPLE = 8
 EDGE_PAD_MULTIPLE = BLOCK_B
+
+# Scoped-VMEM budget (MB) the wide-channel kernels size their blocks
+# against. The TPU default scoped limit is 16 MB; launchers that raise it
+# (bench.py / the training CLIs set
+# ``--xla_tpu_scoped_vmem_limit_kib=65536``, v5e has 128 MB VMEM) export
+# MMA_VMEM_BUDGET_MB to match — bigger blocks mean fewer sequential grid
+# steps, and per-step overhead dominates wide-channel workloads (ZINC:
+# 375 lanes → bwd grid 736 steps at a 10 MB budget vs ~190 at 48 MB).
+VMEM_BUDGET_MB = int(os.environ.get("MMA_VMEM_BUDGET_MB", "10"))

@@ -114,8 +114,13 @@ class MMALayer:
         scaled = apply_scalers(
             msum, graph.deg, graph.node_mask, self.scalers, parity=self.parity
         )
+        # The final propagation is the layer's second full edge pass; in
+        # the bf16 pipeline its operand rides bf16 too (halves the
+        # src-gather + segment-sum HBM traffic; the f32/parity pipeline
+        # is untouched).
+        support = (scaled @ params["w"]).astype(jnp.dtype(self.compute_dtype))
         out = binary_spmm(
-            graph, scaled @ params["w"], use_pallas=use_pallas, axis_name=axis_name
+            graph, support, use_pallas=use_pallas, axis_name=axis_name
         )
         if self.bias:
             out = out + params["b"]

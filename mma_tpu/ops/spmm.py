@@ -82,10 +82,10 @@ def binary_spmm(
                 # the padding node, so zeroing its ct row masks them.
                 ct_z = jnp.where(g.node_mask[:, None], ct, 0.0)
                 ct_e = _pad_tab(ct_z)[g.dst_csc]
-                return (fused_segment_sum_csc(ct_e, g)[:, :f],)
+                return (fused_segment_sum_csc(ct_e, g)[:, :f].astype(x.dtype),)
             ct_e = _pad_tab(ct)[g.dst]
             ct_e = jnp.where(g.edge_mask[:, None], ct_e, 0.0)
-            return (fused_segment_sum_by_src(ct_e, g)[:, :f],)
+            return (fused_segment_sum_by_src(ct_e, g)[:, :f].astype(x.dtype),)
 
         _spmm.defvjp(_fwd, _bwd)
         out = _spmm(x)
