@@ -439,7 +439,7 @@ class MultiMaskConv:
         # emits dc in-kernel plus one CSC-reduced src payload. The
         # dropout PATTERN differs from the XLA path's jax.random stream
         # (position-keyed hash), as any two rng partitions do.
-        if (use_pallas and axis_name is None and self.parity
+        if (use_pallas and axis_name is None
                 and self.pre_layers == 1 and len(self.aggregators) >= 1
                 and all(a in ("min", "max") for a in self.aggregators)
                 and graph.chunk_hint is not None):
@@ -447,20 +447,38 @@ class MultiMaskConv:
                 fused_minmax_edge_program,
             )
 
-            p_dst, hg = self._message_parts(pre_nns[-1], x_flat, e_feat, graph)
-            seed = None
-            if rng is not None and self.dropout_rate > 0.0:
-                seed = jax.random.randint(rng, (1,), 0, 2**31 - 1)
-            fused = fused_minmax_edge_program(
-                p_dst, hg, graph, tuple(self.aggregators), seed=seed,
-                rate=self.dropout_rate, max_run=self.max_degree_hint,
-            )
-            cch = hg.shape[1]
-            reds = [
-                jnp.where(graph.deg[:, None] > 0,
-                          fused[:, pi * cch : (pi + 1) * cch], 0.0)
-                for pi in range(len(self.aggregators))
-            ]
+            def _seed(r):
+                if r is None or self.dropout_rate <= 0.0:
+                    return None
+                return jax.random.randint(r, (1,), 0, 2**31 - 1)
+
+            def _run(pre_k, ops, seed):
+                p_dst, hg = self._message_parts(pre_k, x_flat, e_feat, graph)
+                fused = fused_minmax_edge_program(
+                    p_dst, hg, graph, ops, seed=seed,
+                    rate=self.dropout_rate, max_run=self.max_degree_hint,
+                )
+                cch = hg.shape[1]
+                return [
+                    jnp.where(graph.deg[:, None] > 0,
+                              fused[:, pi * cch : (pi + 1) * cch], 0.0)
+                    for pi in range(len(ops))
+                ]
+
+            if self.parity:
+                # N6: one shared message tensor, both ops in one pass.
+                reds = _run(pre_nns[-1], tuple(self.aggregators), _seed(rng))
+            else:
+                # Fixed mode: per-aggregator messages and dropout rngs —
+                # one single-op fused pass per aggregator.
+                rngs = (jax.random.split(rng, len(self.aggregators))
+                        if rng is not None else None)
+                reds = []
+                for ki, a in enumerate(self.aggregators):
+                    reds += _run(
+                        pre_nns[ki], (a,),
+                        _seed(rngs[ki] if rngs is not None else None),
+                    )
             return self._post(params, x_flat, reds, deg)
 
         if self.parity:

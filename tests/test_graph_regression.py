@@ -248,7 +248,11 @@ def test_conv_pallas_matches_xla_minmax(parity):
 
     vx, gx = jax.value_and_grad(loss, argnums=(0, 1))(params, x, False)
     vp, gp = jax.value_and_grad(loss, argnums=(0, 1))(params, x, True)
-    np.testing.assert_allclose(float(vp), float(vx), rtol=1e-6)
+    # 1e-5: the fused edge program adds the dst projection LAST
+    # (hg + c[dst] vs the XLA path's (p_dst + p_src) + b0 + e·W) — a
+    # valid f32 reassociation whose ~1e-7/element drift the min/max
+    # selection can amplify at near-ties.
+    np.testing.assert_allclose(float(vp), float(vx), rtol=1e-5)
     flat_x, _ = jax.tree_util.tree_flatten(gx)
     flat_p, _ = jax.tree_util.tree_flatten(gp)
     for a_, b_ in zip(flat_p, flat_x):
