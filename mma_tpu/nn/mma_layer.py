@@ -50,8 +50,10 @@ class MMALayer:
     mask_dropout: float = 0.5
     parity: bool = True
     bias: bool = True
-    # Edge-pipeline compute dtype ("float32" | "bfloat16"); bf16 halves
-    # gather/stream HBM traffic. Parity mode keeps float32.
+    # Edge-pipeline compute dtype ("float32" | "bfloat16" | "auto");
+    # bf16 halves gather/stream HBM traffic. "auto" resolves per
+    # platform at trace time (mma_tpu.autotune). Parity mode keeps
+    # float32.
     compute_dtype: str = "float32"
 
     @property
@@ -97,6 +99,9 @@ class MMALayer:
         in eval too — N2; pass ``rng=None`` for deterministic output).
         ``axis_name`` runs the edge-driven reductions edge-sharded (see
         ``mma_tpu.parallel.edge_parallel``)."""
+        from mma_tpu.autotune import resolve_compute_dtype
+
+        compute_dtype = resolve_compute_dtype(self.compute_dtype)
         m = masked_multi_aggregate(
             h,
             graph,
@@ -108,7 +113,7 @@ class MMALayer:
             rng=rng,
             use_pallas=use_pallas,
             axis_name=axis_name,
-            compute_dtype=jnp.dtype(self.compute_dtype),
+            compute_dtype=jnp.dtype(compute_dtype),
         )  # (N, K, F)
         msum = jnp.sum(m, axis=1)  # Σ_k aggregate_k — see module docstring
         scaled = apply_scalers(
@@ -118,7 +123,7 @@ class MMALayer:
         # the bf16 pipeline its operand rides bf16 too (halves the
         # src-gather + segment-sum HBM traffic; the f32/parity pipeline
         # is untouched).
-        support = (scaled @ params["w"]).astype(jnp.dtype(self.compute_dtype))
+        support = (scaled @ params["w"]).astype(jnp.dtype(compute_dtype))
         out = binary_spmm(
             graph, support, use_pallas=use_pallas, axis_name=axis_name
         )

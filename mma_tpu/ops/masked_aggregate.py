@@ -154,6 +154,11 @@ def masked_multi_aggregate(
         # program with that backward strategy (A/B + coverage).
         pat = _sigmoid_lane_pattern(specs, activation, parity, f)
         mw = mask_weights.astype(compute_dtype)
+        # Workload-keyed block sizes (sweep-backed; value-exact — see
+        # mma_tpu.autotune.choose_blocks).
+        from mma_tpu.autotune import choose_blocks
+
+        block_r, block_b = choose_blocks(graph.n_edge, n, lanes=k * f)
         if pallas_bwd_mode is None:
             from mma_tpu.ops.pallas.fused_mma import (
                 fused_mma_edge_program_lean,
@@ -162,13 +167,17 @@ def masked_multi_aggregate(
             w_top = mw[:, :f, :].transpose(1, 0, 2).reshape(f, k * f)
             w_bot = mw[:, f:, :].transpose(1, 0, 2).reshape(f, k * f)
             c = h_c @ w_top
-            s = fused_mma_edge_program_lean(c, w_bot, h_c, pat, graph, k)
+            s = fused_mma_edge_program_lean(
+                c, w_bot, h_c, pat, graph, k,
+                block_r=block_r, block_b=block_b,
+            )
         else:
             from mma_tpu.ops.pallas.fused_mma import fused_mma_edge_program
 
             c, d = mma_mask_projections(h_c, mw)
             s = fused_mma_edge_program(
-                c, d, h_c, pat, graph, k, bwd_mode=pallas_bwd_mode
+                c, d, h_c, pat, graph, k, bwd_mode=pallas_bwd_mode,
+                block_r=block_r, block_b=block_b,
             )
         msgs = None
     else:

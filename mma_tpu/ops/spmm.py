@@ -45,6 +45,12 @@ def binary_spmm(
         # zeros end-to-end, sliced off at the boundary.
         f = x.shape[1]
         f_pad = -(-f // 128) * 128
+        # Workload-keyed block sizes (sweep-backed, value-exact — see
+        # mma_tpu.autotune.choose_blocks): small/sparse graphs halve the
+        # row-block count.
+        from mma_tpu.autotune import choose_blocks
+
+        block_r, block_b = choose_blocks(graph.n_edge, graph.n_node, lanes=f_pad)
 
         def _pad_tab(t):
             if f_pad == f:
@@ -68,7 +74,9 @@ def binary_spmm(
             # array — one full HBM read+write of the edge array saved.
             x_z = jnp.where(graph.node_mask[:, None], x, 0.0)
             gathered = _pad_tab(x_z)[graph.src]
-            return fused_segment_sum(gathered, graph)[:, :f]
+            return fused_segment_sum(
+                gathered, graph, block_r=block_r, block_b=block_b
+            )[:, :f]
 
         def _fwd(x):
             # graph rides through residuals, not the closure (inside
@@ -82,10 +90,14 @@ def binary_spmm(
                 # the padding node, so zeroing its ct row masks them.
                 ct_z = jnp.where(g.node_mask[:, None], ct, 0.0)
                 ct_e = _pad_tab(ct_z)[g.dst_csc]
-                return (fused_segment_sum_csc(ct_e, g)[:, :f].astype(x.dtype),)
+                return (fused_segment_sum_csc(
+                    ct_e, g, block_r=block_r, block_b=block_b
+                )[:, :f].astype(x.dtype),)
             ct_e = _pad_tab(ct)[g.dst]
             ct_e = jnp.where(g.edge_mask[:, None], ct_e, 0.0)
-            return (fused_segment_sum_by_src(ct_e, g)[:, :f].astype(x.dtype),)
+            return (fused_segment_sum_by_src(
+                ct_e, g, block_r=block_r, block_b=block_b
+            )[:, :f].astype(x.dtype),)
 
         _spmm.defvjp(_fwd, _bwd)
         out = _spmm(x)
