@@ -638,8 +638,16 @@ def main():
     vs_baseline = value / head["xla"]["edges_per_s"]
     details["headline"] = {"workload": "synthetic-large", "path": best_name}
 
+    # Merge over any existing details so a partial run (sections skipped
+    # via MMA_BENCH_SKIP_*) doesn't drop the other sections' entries.
+    try:
+        with open("BENCH_DETAILS.json") as f:
+            merged = json.load(f)
+    except (OSError, ValueError):
+        merged = {}
+    merged.update(details)
     with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(details, f, indent=2)
+        json.dump(merged, f, indent=2)
 
     print(
         json.dumps(

@@ -74,8 +74,17 @@ def choose_blocks(
     steps dominate the grid — double block_r to 256; otherwise the
     defaults are best. block_b stays 1024: every measured increase lost
     throughput on both workload scales.
+
+    The bump is gated on ``lanes >= 128`` (the measured class): at
+    narrower channel counts the per-chunk one-hot select matmul —
+    whose cost scales with block_r — is relatively larger, and the
+    64-lane pubmed masked-aggregate measured *slower* at 256
+    (45.7M vs 53.6M edges/s bf16), while its 128-lane-table SpMM and
+    the 128-lane sweep workload both benefited.
     """
-    del lanes, platform
+    del platform
+    if lanes < 128:
+        return BLOCK_R, BLOCK_B
     row_steps = -(-max(n_node, 1) // BLOCK_R)
     chunk_steps = -(-max(n_edge, 1) // BLOCK_B)
     if row_steps > chunk_steps:
