@@ -54,6 +54,26 @@ def _time_fn(f, *args, iters=30, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
+def _time_fwd_chained(apply_fn, x, *rest, iters=20, warmup=2):
+    """Time a forward whose dispatches are dependency-CHAINED: iteration
+    i's input is perturbed by iteration i-1's output (×0, so values are
+    unchanged), so the async axon runtime can neither elide nor overlap
+    repeated identical dispatches (same rationale as _time_step_fn).
+    ``apply_fn(x, *rest) -> array``; ``x`` must be a float array."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(carry, x, *rest):
+        out = apply_fn(x + carry * 0, *rest)
+        return (carry + jnp.sum(out.astype(jnp.float32)) * 1e-30,)
+
+    return _time_step_fn(
+        step, jnp.zeros((), jnp.float32), x, *rest,
+        iters=iters, warmup=warmup, n_state=1,
+    )
+
+
 def _time_step_fn(f, *args, iters=10, warmup=2, n_state=2):
     """Time a train step, CHAINING the first ``n_state`` outputs back as
     inputs. Timing loops of *independent* identical dispatches can be
@@ -75,6 +95,56 @@ def _time_step_fn(f, *args, iters=10, warmup=2, n_state=2):
         state = out[:n_state]
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
+
+
+# Measured-roofline accounting (VERDICT r3 #6): every throughput entry
+# carries bytes_per_edge (a documented LOWER-BOUND HBM-traffic model of
+# the workload — what a perfect implementation must still move) and
+# roofline_frac = t_roofline / t_measured, so perf is judged against
+# speed-of-light rather than only vs_baseline. v5e HBM ≈ 819 GB/s.
+HBM_GBPS = float(os.environ.get("MMA_HBM_GBPS", "819"))
+
+
+def _dtype_bytes(name):
+    return 2 if name in ("bfloat16", "auto") else 4
+
+
+def _annotate_roofline(entry, n_edges, bytes_total):
+    t_roof = bytes_total / (HBM_GBPS * 1e9)
+    entry["bytes_per_edge"] = round(bytes_total / max(n_edges, 1), 1)
+    entry["roofline_frac"] = round(t_roof / entry["time_s"], 4)
+
+
+def _mma_layer_fwd_bytes(graph, n_feat, k, dtype_name):
+    """Lower-bound HBM bytes of one MMA-layer forward.
+
+    Two edge passes (masked aggregate + final SpMM), each streaming one
+    gathered row per edge at the 128-lane-padded width plus 4 B of edge
+    ids, plus the node-level mask projections / aggregate / output
+    arrays once. Elementwise fusion is assumed perfect (XLA/Pallas both
+    avoid materializing mask/message intermediates on the fast paths).
+    """
+    d = _dtype_bytes(dtype_name)
+    e = int(np.asarray(graph.num_edges))
+    n = graph.n_node
+    f_pad = -(-n_feat // 128) * 128
+    per_edge = 2 * (f_pad * d + 4)
+    per_node = (2 * k * n_feat + 2 * k * n_feat + 2 * f_pad) * 4
+    return e * per_edge + n * per_node
+
+
+def _zinc_fwd_bytes(batch, hidden, towers, edge_dim, num_layers, dtype_name):
+    """Lower-bound HBM bytes of one ZincNet forward: per conv layer the
+    per-edge message stream ``hg`` (T·F lanes) is built (write) and
+    reduced (read) once, edge features re-read per layer, plus the
+    node-level projections/aggregates in f32."""
+    d = _dtype_bytes(dtype_name)
+    e = int(np.asarray(batch.graph.num_edges))
+    n = batch.graph.n_node
+    tf = towers * hidden
+    per_edge = 2 * tf * d + edge_dim * d + 4
+    per_node = (2 * tf + 2 * 2 * tf) * 4  # p_dst/p_src + two reduce outs
+    return num_layers * (e * per_edge + n * per_node)
 
 
 def powerlaw_graph(n, avg_deg, seed=0):
@@ -124,10 +194,18 @@ def bench_node_mma(graph, n_feat, aggregators, seed=0):
             in_features=n_feat, out_features=n_feat, aggregators=aggregators,
             compute_dtype=dtype,
         )
-        f = jax.jit(lambda p, x: layer.apply(p, x, graph, use_pallas=use_pallas))
         try:
-            dt = _time_fn(f, params, h)
+            dt = _time_fwd_chained(
+                lambda x, p, layer=layer, up=use_pallas: layer.apply(
+                    p, x, graph, use_pallas=up
+                ),
+                h, params,
+            )
             res[name] = {"time_s": dt, "edges_per_s": n_edges / dt}
+            _annotate_roofline(
+                res[name], n_edges,
+                _mma_layer_fwd_bytes(graph, n_feat, len(aggregators), dtype),
+            )
         except Exception as e:  # pallas path may be unavailable off-TPU
             log(f"  path {name} failed: {type(e).__name__}: {str(e)[:200]}")
     return res
@@ -177,6 +255,12 @@ def bench_node_mma_train(graph, n_feat, aggregators, seed=0):
         try:
             dt = _time_step_fn(step, params, opt_state, h, iters=15)
             res[name] = {"time_s": dt, "edges_per_s": n_edges / dt}
+            # fwd + bwd ≈ 3× the forward's edge traffic (backward re-reads
+            # the residual stream and writes/reduces a cotangent stream).
+            _annotate_roofline(
+                res[name], n_edges,
+                3 * _mma_layer_fwd_bytes(graph, n_feat, len(aggregators), dtype),
+            )
         except Exception as e:
             log(f"  train path {name} failed: {type(e).__name__}: {str(e)[:200]}")
     return res
@@ -229,16 +313,23 @@ def bench_zinc_conv(batch_size=1024, seed=0):
             scalers=("identity", "amplification", "linear"),
             avg_deg=tuple(avg.items()),
             towers=5,
-            max_degree_hint=8,
+            max_degree_hint=4,  # ZINC max in-degree (mma.py:57-60)
             compute_dtype=dtype,
         )
         params = model.init(jax.random.PRNGKey(0))
         state = model.init_state()
         n_edges = int(np.asarray(batch.graph.num_edges)) * model.num_layers
 
-        def fwd(p, s, b, up=use_pallas, model=model):
+        @jax.jit
+        def fwd_c(carry, p, s, b, up=use_pallas, model=model):
+            # dependency-chain through the float params so repeated
+            # dispatches can't be elided/overlapped (see _time_fwd_chained)
+            p = jax.tree.map(
+                lambda t: t + carry * 0
+                if jnp.issubdtype(t.dtype, jnp.floating) else t, p
+            )
             pred, _ = model.apply(p, s, b, training=False, use_pallas=up)
-            return pred
+            return (carry + jnp.sum(pred) * 1e-30,)
 
         opt_state = opt.init(params)
 
@@ -254,10 +345,16 @@ def bench_zinc_conv(batch_size=1024, seed=0):
             return optax.apply_updates(p, u), o2, s2
 
         try:
-            dt = _time_fn(jax.jit(fwd), params, state, batch, iters=15)
+            dt = _time_step_fn(
+                fwd_c, jnp.zeros((), jnp.float32), params, state, batch,
+                iters=15, n_state=1,
+            )
             res[name] = {"time_s": dt, "edges_per_s": n_edges / dt}
+            zb = _zinc_fwd_bytes(batch, 75, 5, 50, model.num_layers, dtype)
+            _annotate_roofline(res[name], n_edges, zb)
             dt_t = _time_step_fn(step, params, opt_state, state, batch, iters=10)
             res[name]["train"] = {"time_s": dt_t, "edges_per_s": n_edges / dt_t}
+            _annotate_roofline(res[name]["train"], n_edges, 3 * zb)
         except Exception as e:
             log(f"  zinc path {name} failed: {type(e).__name__}: {str(e)[:200]}")
     return res
@@ -338,9 +435,38 @@ def bench_scaling(n=65536, avg_deg=16, n_feat=64, aggregators=("mean", "mean2"))
     return out
 
 
+def locality_powerlaw_graph(n, avg_deg, seed=0, long_range=0.05):
+    """Power-law graph WITH community structure, node labels scrambled:
+    ring-local edges (pareto-distributed offsets) plus a few zipf
+    long-range edges. Realistic graphs (road/web/social) have this kind
+    of locality; the zipf-random generator above has none — no
+    partitioner can beat random conductance there, so partition quality
+    must be judged here."""
+    rs = np.random.RandomState(seed)
+    m = n * avg_deg // 2
+    a = rs.randint(0, n, m)
+    off = np.maximum(1, (rs.pareto(1.5, m) * 3).astype(np.int64))
+    b = (a + np.where(rs.rand(m) < 0.5, off, -off)) % n
+    ml = int(m * long_range)
+    a2 = (rs.rand(ml) ** 2 * n).astype(np.int64)
+    b2 = rs.randint(0, n, ml)
+    a = np.concatenate([a, a2])
+    b = np.concatenate([b, b2])
+    keep = a != b
+    a, b = a[keep], b[keep]
+    perm = rs.permutation(n)
+    a, b = perm[a], perm[b]
+    src = np.concatenate([a, b]).astype(np.int32)
+    dst = np.concatenate([b, a]).astype(np.int32)
+    from mma_tpu.graph.build import graph_from_edges
+
+    return graph_from_edges(src, dst, n)
+
+
 def node_sharded_scaling_model(
     n=131072, avg_deg=16, n_feat=64, n_class=16, n_agg=2,
     measured_edges_per_s=None, ici_gbps=45.0, shard_counts=(2, 4, 8),
+    graph=None, partition_method="contiguous",
 ):
     """Analytic scaling model for the node-sharded regime — the
     falsifiable backing for the BASELINE "≥80% efficiency at N≥2" claim
@@ -366,9 +492,11 @@ def node_sharded_scaling_model(
     ring link (~45 GB/s/direction) and is reported so the model can be
     re-evaluated for other fabrics.
     """
-    from mma_tpu.parallel.node_sharded import build_node_sharded
+    from mma_tpu.parallel.node_sharded import build_node_sharded_ordered
 
-    graph = powerlaw_graph(n, avg_deg=avg_deg, seed=1)
+    if graph is None:
+        graph = powerlaw_graph(n, avg_deg=avg_deg, seed=1)
+    n = int(np.asarray(graph.node_mask).sum())
     n_edges = int(np.asarray(graph.num_edges))
     eps = measured_edges_per_s or 1.0
     t1 = n_edges / eps
@@ -379,12 +507,13 @@ def node_sharded_scaling_model(
     out = {
         "workload": {"n_nodes": n, "n_edges": n_edges, "n_feat": n_feat,
                      "n_agg": n_agg, "n_class": n_class},
+        "partition_method": partition_method,
         "measured_single_chip_edges_per_s": eps,
         "ici_gbps_assumed": ici_gbps,
         "per_n": {},
     }
     for s in shard_counts:
-        sg, _ = build_node_sharded(graph, s)
+        sg, _, _ = build_node_sharded_ordered(graph, s, partition_method)
         e_int = (np.asarray(sg.edge_mask).sum(1)
                  - np.asarray(sg.bnd_mask).sum(1))
         e_bnd = np.asarray(sg.bnd_mask).sum(1)
@@ -412,7 +541,7 @@ def node_sharded_scaling_model(
 
 def bench_ogbn_sampled(
     n=2_400_000, avg_deg=50, batch_size=1024, fanouts=(10, 10, 5),
-    n_batches=10, use_pallas=True,
+    n_batches=10, use_pallas=True, use_ell=False,
 ):
     """BASELINE config[4]: ogbn-products-scale synthetic power-law graph
     (2.4M nodes / ~120M directed edges) trained with neighbor sampling —
@@ -454,19 +583,36 @@ def bench_ogbn_sampled(
     features = rs.randn(65536, n_feat).astype(np.float32)  # hashed feature rows
     labels_tab = rs.randint(0, n_class, 65536)
 
-    # Calibrate padding budgets on real subgraphs (sampling is cheap
-    # relative to a mis-padded device step; 1.3× headroom + the hard
-    # worst case as a fallback resample guard).
+    # Calibrate PER-HOP padding budgets on real subgraphs (1.5× headroom)
+    # via the native sampler's hop counts. ``use_ell=True`` additionally
+    # fixes each hop's row range so the graphs carry the static ELL
+    # degree-bucket layout and the device step runs the scatter-free
+    # dense-neighbor paths (mma_tpu.ops.ell). Measured on this workload
+    # the ELL step is SLOWER than the half-fused CSR path (4.4 s vs
+    # 1.5 s/batch — the per-hop slot programs don't pay off at 762k-node
+    # pads), so the default stays on the CSR path; the flag keeps the
+    # alternative one switch away.
     t0 = time.perf_counter()
-    cal = [
-        sampler.sample(rs.randint(0, n, size=batch_size)) for _ in range(3)
-    ]
-    max_nodes = max(b.num_nodes for b in cal)
-    max_edges = max(int(np.asarray(b.graph.num_edges)) for b in cal)
-    n_node_pad = -(-int(max_nodes * 1.3) // 8192) * 8192
-    n_edge_pad = -(-int(max_edges * 1.3) // 8192) * 8192
-    log(f"  ogbn: calibrated pads nodes {max_nodes}->{n_node_pad}, "
-        f"edges {max_edges}->{n_edge_pad} in {time.perf_counter()-t0:.1f}s")
+    hop_max = np.zeros(len(fanouts) + 1, np.int64)
+    max_edges = 0
+    for _ in range(3):
+        seeds_c = rs.randint(0, n, size=batch_size)
+        hc, _, src_c, _ = sampler._structure(
+            seeds_c,
+            sampler._structural_node_bound(batch_size),
+            sampler._structural_edge_bound(batch_size),
+        )
+        hop_max = np.maximum(hop_max, hc)
+        max_edges = max(max_edges, len(src_c))
+    hop_pads = tuple(
+        int(-(-int(c * 1.5) // 256) * 256) if i else batch_size
+        for i, c in enumerate(hop_max)
+    )
+    n_node_pad = -(-(sum(hop_pads) + 1) // 8192) * 8192
+    n_edge_pad = -(-int(max_edges * 1.5) // 8192) * 8192
+    log(f"  ogbn: calibrated hop pads {list(hop_pads)} "
+        f"(nodes {int(hop_max.sum())}->{n_node_pad}), edges "
+        f"{max_edges}->{n_edge_pad} in {time.perf_counter()-t0:.1f}s")
 
     devices = jax.devices()
     n_dev = len(devices)
@@ -479,6 +625,7 @@ def bench_ogbn_sampled(
     model = NodeClassifier(
         n_feat=n_feat, n_hidden=64, n_class=n_class,
         aggregators=("mean", "mean2"), dropout_rate=0.5,
+        compute_dtype="auto",  # bf16 edge pipeline on TPU
     )
     params = model.init(jax.random.PRNGKey(0))
     opt = make_optimizer(3e-3)
@@ -518,7 +665,9 @@ def bench_ogbn_sampled(
         batches = []
         for d in range(n_dev):
             bt = sampler.sample(
-                seeds_all[bi, d], n_node_pad=n_node_pad, n_edge_pad=n_edge_pad
+                seeds_all[bi, d], n_node_pad=n_node_pad,
+                n_edge_pad=n_edge_pad,
+                hop_node_pads=hop_pads if use_ell else None,
             )
             batches.append(bt)
         from mma_tpu.train.sampled import stack_graphs
@@ -577,6 +726,7 @@ def bench_ogbn_sampled(
         "n_batches": n_batches,
         "fanouts": list(fanouts),
         "use_pallas": use_pallas,
+        "use_ell": use_ell,
         "n_node_pad": n_node_pad,
         "n_edge_pad": n_edge_pad,
         "final_loss": float(loss),
@@ -621,10 +771,26 @@ def main():
         best_train = max(
             (v["edges_per_s"] for v in tr.values()), default=None
         )
+        # Three partition scenarios: the locality-free zipf graph
+        # (worst case — any partition ≈ random conductance) and a
+        # locality power-law graph under contiguous vs LDG cuts (the
+        # partitioner's actual job: recover scrambled community
+        # structure — VERDICT r3 #4).
         details["scaling"]["model"] = node_sharded_scaling_model(
             measured_edges_per_s=best_train
         )
-        log("scaling model:", json.dumps(details["scaling"]["model"]))
+        log("scaling model (zipf/contiguous):",
+            json.dumps(details["scaling"]["model"]))
+        loc_graph = locality_powerlaw_graph(131072, 16, seed=1)
+        details["scaling"]["model_locality"] = {
+            m: node_sharded_scaling_model(
+                measured_edges_per_s=best_train, graph=loc_graph,
+                partition_method=m,
+            )
+            for m in ("contiguous", "ldg")
+        }
+        log("scaling model (locality):",
+            json.dumps(details["scaling"]["model_locality"]))
     if os.environ.get("MMA_BENCH_SKIP_OGBN") != "1":
         try:
             details["ogbn-sampled"] = bench_ogbn_sampled(n_batches=10)
@@ -640,12 +806,29 @@ def main():
 
     # Merge over any existing details so a partial run (sections skipped
     # via MMA_BENCH_SKIP_*) doesn't drop the other sections' entries.
+    # Each section measured THIS run is stamped with the current git SHA
+    # + timestamp under "_provenance", so a merged artifact can't silently
+    # mix revisions without saying so.
+    try:
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        sha = "unknown"
+    stamp = {"git_sha": sha, "time": time.strftime("%Y-%m-%dT%H:%M:%S")}
     try:
         with open("BENCH_DETAILS.json") as f:
             merged = json.load(f)
     except (OSError, ValueError):
         merged = {}
+    prov = merged.get("_provenance", {})
+    for k in details:
+        prov[k] = stamp
     merged.update(details)
+    merged["_provenance"] = prov
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(merged, f, indent=2)
 

@@ -61,7 +61,6 @@ def choose_blocks(
     n_edge: int,
     n_node: int,
     lanes: int = 128,
-    platform: Optional[str] = None,
 ) -> Tuple[int, int]:
     """Fused-edge-program ``(block_r, block_b)`` for a padded workload.
 
@@ -82,7 +81,6 @@ def choose_blocks(
     (45.7M vs 53.6M edges/s bf16), while its 128-lane-table SpMM and
     the 128-lane sweep workload both benefited.
     """
-    del platform
     if lanes < 128:
         return BLOCK_R, BLOCK_B
     row_steps = -(-max(n_node, 1) // BLOCK_R)

@@ -34,6 +34,12 @@ def build_parser():
     p.add_argument("--subset", type=int, default=None, help="cap dataset size")
     p.add_argument("--use-pallas", action="store_true",
                    help="route sum-family reductions through the fused Pallas kernel")
+    p.add_argument("--compute-dtype", type=str, default="float32",
+                   help="conv edge-pipeline dtype: float32|bfloat16|auto")
+    p.add_argument("--edge-format", type=str, default="auto",
+                   help="conv edge layout: auto|csr|ell")
+    p.add_argument("--max-degree-hint", type=int, default=4,
+                   help="static in-degree bound (ZINC ≤ 4); 0 disables")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize conv layers (memory for FLOPs)")
     p.add_argument("--matmul_precision", type=str, default="highest",
@@ -61,6 +67,9 @@ def main(argv=None):
         parity=not args.no_parity,
         subset_size=args.subset,
         use_pallas=args.use_pallas,
+        compute_dtype=args.compute_dtype,
+        edge_format=args.edge_format,
+        max_degree_hint=args.max_degree_hint or None,
         remat=args.remat,
         matmul_precision=args.matmul_precision,
         log_path=args.log,

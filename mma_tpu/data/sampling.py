@@ -22,6 +22,7 @@ standard unbiased-mean estimator.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Iterator, Optional, Sequence, Tuple
 
 import numpy as np
@@ -42,9 +43,12 @@ class SampledBatch:
 class NeighborSampler:
     """Samples layered neighborhoods from a host-resident graph."""
 
-    def __init__(self, graph: Graph, fanouts: Sequence[int], seed: int = 0):
+    def __init__(self, graph: Graph, fanouts: Sequence[int], seed: int = 0,
+                 use_native: bool = True, n_threads: Optional[int] = None):
         self.fanouts = tuple(fanouts)
         self.rs = np.random.RandomState(seed)
+        self.use_native = use_native
+        self.n_threads = n_threads or (os.cpu_count() or 1)
         # Host copies of the CSR structure (real edges only).
         e_mask = np.asarray(graph.edge_mask)
         self.src = np.asarray(graph.src)[e_mask]
@@ -60,7 +64,8 @@ class NeighborSampler:
     @classmethod
     def from_host_arrays(cls, src: np.ndarray, dst: np.ndarray,
                          num_nodes: int, fanouts: Sequence[int],
-                         seed: int = 0) -> "NeighborSampler":
+                         seed: int = 0, use_native: bool = True,
+                         n_threads: Optional[int] = None) -> "NeighborSampler":
         """Build directly from host edge arrays (unsorted OK) — skips the
         device :class:`Graph` round-trip; the native counting sort keeps
         construction O(E+N) at ogbn scale (120M+ edges)."""
@@ -69,6 +74,8 @@ class NeighborSampler:
         self = cls.__new__(cls)
         self.fanouts = tuple(fanouts)
         self.rs = np.random.RandomState(seed)
+        self.use_native = use_native
+        self.n_threads = n_threads or (os.cpu_count() or 1)
         src_s, dst_s, _ = native.sort_edges(src, dst, num_nodes)
         self.src = src_s
         self.dst = dst_s
@@ -131,27 +138,25 @@ class NeighborSampler:
         idx = np.concatenate(idx_parts)
         return self.src_sorted[idx].astype(np.int64), np.concatenate(dst_parts)
 
-    def sample(
-        self,
-        seeds: np.ndarray,
-        *,
-        n_node_pad: Optional[int] = None,
-        n_edge_pad: Optional[int] = None,
-    ) -> SampledBatch:
-        seeds = np.asarray(seeds, np.int64)
+    def _structure_numpy(self, seeds):
+        """(hop node-count list, global node ids in discovery order,
+        local src/dst) — NumPy backend."""
         node_ids = seeds
         frontier = seeds
+        hop_counts = [len(seeds)]
         all_src, all_dst = [], []
         for fanout in self.fanouts:
+            if len(frontier) == 0:
+                hop_counts.append(0)
+                continue
             s, d = self._sample_neighbors(frontier, fanout)
             all_src.append(s)
             all_dst.append(d)
             cand = np.unique(s)
             new = cand[~np.isin(cand, node_ids, assume_unique=False)]
             node_ids = np.concatenate([node_ids, new])
+            hop_counts.append(len(new))
             frontier = new
-            if len(frontier) == 0:
-                break
 
         src = np.concatenate(all_src) if all_src else np.zeros(0, np.int64)
         dst = np.concatenate(all_dst) if all_dst else np.zeros(0, np.int64)
@@ -160,10 +165,67 @@ class NeighborSampler:
             key = dst * (self.num_nodes + 1) + src
             _, uniq = np.unique(key, return_index=True)
             src, dst = src[uniq], dst[uniq]
-        # global id → subgraph row (vectorized: node_ids is unique).
         order = np.argsort(node_ids, kind="stable")
         src_l = order[np.searchsorted(node_ids[order], src)].astype(np.int32)
         dst_l = order[np.searchsorted(node_ids[order], dst)].astype(np.int32)
+        return hop_counts, node_ids, src_l, dst_l
+
+    def _structure(self, seeds, node_cap, edge_cap):
+        """Dispatch to the C++ multithreaded sampler when available
+        (``native/graphops.cpp::mma_sample_layered`` — deterministic per
+        seed regardless of thread count), else the NumPy backend. Both
+        return the same representation; only the RNG stream differs."""
+        if self.use_native:
+            from mma_tpu.graph import native
+
+            res = native.sample_layered(
+                self.row_ptr, self.src_sorted, seeds, self.fanouts,
+                rng_seed=int(self.rs.randint(0, 2**62)),
+                n_threads=self.n_threads,
+                node_cap=node_cap, edge_cap=edge_cap,
+            )
+            if res is not None:
+                nodes, hop_counts, src_l, dst_l = res
+                return (
+                    [int(c) for c in hop_counts],
+                    nodes.astype(np.int64),
+                    src_l, dst_l,
+                )
+        return self._structure_numpy(seeds)
+
+    def sample(
+        self,
+        seeds: np.ndarray,
+        *,
+        n_node_pad: Optional[int] = None,
+        n_edge_pad: Optional[int] = None,
+        hop_node_pads: Optional[Sequence[int]] = None,
+    ) -> SampledBatch:
+        """Sample one layered subgraph.
+
+        ``hop_node_pads``: optional per-hop node budgets
+        ``(seeds, new₁, …, new_L)`` (length ``len(fanouts)+1``). When
+        given, each hop's nodes occupy a FIXED row range padded to its
+        budget, and the graph carries the static ELL degree-bucket layout
+        ``ell_hint = ((range_end_h, fanouts[h]), …)`` — hop ``h``'s nodes
+        have at most ``fanouts[h]`` sampled in-edges (each node joins
+        exactly one frontier), so the scatter-free dense-neighbor paths
+        (``mma_tpu.ops.ell``) apply with ~no slot inflation. Rows between
+        a hop's actual node count and its budget are masked holes.
+        """
+        seeds = np.asarray(seeds, np.int64)
+        node_cap = (sum(hop_node_pads) if hop_node_pads is not None
+                    else (n_node_pad or self._structural_node_bound(len(seeds))))
+        edge_cap = n_edge_pad or self._structural_edge_bound(len(seeds))
+        hop_counts, node_ids, src_l, dst_l = self._structure(
+            seeds, node_cap, edge_cap
+        )
+
+        if hop_node_pads is not None:
+            return self._layout_hopped(
+                seeds, hop_counts, node_ids, src_l, dst_l,
+                tuple(hop_node_pads), n_node_pad, n_edge_pad,
+            )
 
         g = graph_from_edges(
             src_l, dst_l, len(node_ids),
@@ -177,6 +239,73 @@ class NeighborSampler:
 
         ids_pad = np.full(g.n_node, -1, np.int64)
         ids_pad[: len(node_ids)] = node_ids
+        return SampledBatch(
+            graph=g,
+            node_ids=ids_pad,
+            num_seeds=len(seeds),
+            num_nodes=len(node_ids),
+        )
+
+    def _structural_node_bound(self, n_seeds: int) -> int:
+        b, f = n_seeds, n_seeds
+        for fo in self.fanouts:
+            f *= fo
+            b += f
+        return b + 1
+
+    def _structural_edge_bound(self, n_seeds: int) -> int:
+        b, f = 0, n_seeds
+        for fo in self.fanouts:
+            f *= fo
+            b += f
+        return max(b, 1)
+
+    def _layout_hopped(self, seeds, hop_counts, node_ids, src_l, dst_l,
+                       pads, n_node_pad, n_edge_pad) -> SampledBatch:
+        """Per-hop padded row layout + ELL bucket hint (see ``sample``)."""
+        if len(pads) != len(self.fanouts) + 1:
+            raise ValueError(
+                f"hop_node_pads needs {len(self.fanouts) + 1} entries "
+                f"(seeds + one per fanout), got {len(pads)}"
+            )
+        for h, c in enumerate(hop_counts):
+            if c > pads[h]:
+                raise ValueError(
+                    f"hop {h}: {c} nodes > budget {pads[h]} — "
+                    "recalibrate hop_node_pads"
+                )
+        offs = np.concatenate([[0], np.cumsum(pads)]).astype(np.int64)
+        total = int(offs[-1])
+        # Compact discovery row → padded row.
+        loc_of_compact = np.concatenate(
+            [offs[h] + np.arange(c, dtype=np.int64)
+             for h, c in enumerate(hop_counts)]
+        )
+        src_p = loc_of_compact[src_l].astype(np.int32)
+        dst_p = loc_of_compact[dst_l].astype(np.int32)
+
+        g = graph_from_edges(
+            src_p, dst_p, total,
+            n_node_pad=n_node_pad, n_edge_pad=n_edge_pad,
+        )
+        node_mask = np.zeros(g.n_node, bool)
+        node_mask[loc_of_compact] = True
+        deg = np.zeros(g.n_node, np.float32)
+        deg[loc_of_compact] = self.true_deg[node_ids]
+        # Expanded hops 0..L-1 are ELL buckets (width = their fanout);
+        # the last hop's nodes are leaves with no in-edges — no bucket.
+        ell_hint = tuple(
+            (int(offs[h + 1]), int(self.fanouts[h]))
+            for h in range(len(self.fanouts))
+        )
+        g = dataclasses.replace(
+            g,
+            node_mask=jnp.asarray(node_mask),
+            deg=jnp.asarray(deg),
+            ell_hint=ell_hint,
+        )
+        ids_pad = np.full(g.n_node, -1, np.int64)
+        ids_pad[loc_of_compact] = node_ids
         return SampledBatch(
             graph=g,
             node_ids=ids_pad,

@@ -79,6 +79,11 @@ class Graph:
     # (max chunks per row block, total flattened steps) — diagnostics
     # only; the kernel derives its own bound.
     chunk_hint: "tuple | None" = None
+    # Static ELL degree-bucket layout ``((row_end, width), ...)``: rows
+    # of range b have at most ``width_b`` in-edges (see
+    # ``mma_tpu.ops.ell``). Producers with structural degree bounds set
+    # it (per-hop sampled subgraphs); None = no known bucket layout.
+    ell_hint: "tuple | None" = None
 
     @property
     def n_node(self) -> int:
@@ -98,7 +103,7 @@ class Graph:
         return jnp.sum(self.edge_mask.astype(jnp.int32))
 
 
-_dataclass_pytree(Graph, static_fields=("chunk_hint",))
+_dataclass_pytree(Graph, static_fields=("chunk_hint", "ell_hint"))
 
 
 @dataclasses.dataclass

@@ -54,6 +54,26 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.mma_symmetrize.restype = ctypes.c_int64
     lib.mma_balanced_row_cuts.argtypes = [i32p, ctypes.c_int32, ctypes.c_int32, i32p]
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    # Round-4 symbols — tolerate a stale .so (base ops keep working;
+    # the new entry points report unavailable).
+    try:
+        lib.mma_partition_ldg.argtypes = [
+            i64p, i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_float, i32p
+        ]
+        lib.mma_sample_layered.argtypes = [
+            i64p, i32p, ctypes.c_int64,       # row_ptr, src_sorted, n_nodes
+            i32p, ctypes.c_int64,             # seeds, n_seeds
+            i32p, ctypes.c_int32,             # fanouts, n_hops
+            ctypes.c_uint64, ctypes.c_int32,  # rng_seed, n_threads
+            i32p, i64p, i32p, i32p,           # out_nodes, hop_counts, src, dst
+            ctypes.c_int64, ctypes.c_int64,   # node_cap, edge_cap
+        ]
+        lib.mma_sample_layered.restype = ctypes.c_int64
+    except AttributeError:
+        lib._mma_r4_symbols = False
+    else:
+        lib._mma_r4_symbols = True
     _lib = lib
     return _lib
 
@@ -118,6 +138,74 @@ def symmetrize(src: np.ndarray, dst: np.ndarray, num_nodes: int
     out_dst = np.empty(2 * len(src), np.int32)
     m = lib.mma_symmetrize(src, dst, len(src), num_nodes, out_src, out_dst)
     return out_src[:m].copy(), out_dst[:m].copy()
+
+
+def sample_layered(
+    row_ptr: np.ndarray,
+    src_sorted: np.ndarray,
+    seeds: np.ndarray,
+    fanouts,
+    rng_seed: int,
+    n_threads: int,
+    node_cap: int,
+    edge_cap: int,
+):
+    """Multithreaded layered neighbor sample (C++; ``mma_sample_layered``).
+
+    Returns ``(nodes, hop_counts, src_local, dst_local)`` — global node
+    ids in discovery order (seeds, then each hop's new nodes), per-hop
+    new-node counts, and LOCAL edge endpoints — or ``None`` when the
+    native library is unavailable or a fanout exceeds 64 (the kernel's
+    per-node stack buffer). Raises ``ValueError`` on cap overflow.
+    """
+    lib = _load()
+    fanouts = np.ascontiguousarray(fanouts, np.int32)
+    if (lib is None or not getattr(lib, "_mma_r4_symbols", False)
+            or len(fanouts) == 0 or fanouts.max(initial=0) > 64):
+        return None
+    row_ptr = np.ascontiguousarray(row_ptr, np.int64)
+    src_sorted = np.ascontiguousarray(src_sorted, np.int32)
+    seeds = np.ascontiguousarray(seeds, np.int32)
+    out_nodes = np.empty(node_cap, np.int32)
+    hop_counts = np.empty(len(fanouts) + 1, np.int64)
+    out_src = np.empty(edge_cap, np.int32)
+    out_dst = np.empty(edge_cap, np.int32)
+    n_edges = lib.mma_sample_layered(
+        row_ptr, src_sorted, len(row_ptr) - 1,
+        seeds, len(seeds), fanouts, len(fanouts),
+        ctypes.c_uint64(rng_seed & (2**64 - 1)), n_threads,
+        out_nodes, hop_counts, out_src, out_dst,
+        node_cap, edge_cap,
+    )
+    if n_edges == -1:
+        raise ValueError(f"sample overflowed node_cap={node_cap}")
+    if n_edges == -2:
+        raise ValueError(f"sample overflowed edge_cap={edge_cap}")
+    n_nodes = int(hop_counts.sum())
+    return (
+        out_nodes[:n_nodes],
+        hop_counts,
+        out_src[:n_edges],
+        out_dst[:n_edges],
+    )
+
+
+def partition_ldg(row_ptr: np.ndarray, src_sorted: np.ndarray,
+                  num_parts: int, slack: float = 1.05):
+    """Locality-aware streaming partition (LDG) over a symmetric CSR.
+
+    Returns an (n,) int32 part assignment, or ``None`` when the native
+    library is unavailable (callers fall back to contiguous cuts)."""
+    lib = _load()
+    if lib is None or not getattr(lib, "_mma_r4_symbols", False):
+        return None
+    row_ptr = np.ascontiguousarray(row_ptr, np.int64)
+    src_sorted = np.ascontiguousarray(src_sorted, np.int32)
+    n = len(row_ptr) - 1
+    part = np.empty(n, np.int32)
+    lib.mma_partition_ldg(row_ptr, src_sorted, n, num_parts,
+                          ctypes.c_float(slack), part)
+    return part
 
 
 def balanced_row_cuts(row_ptr: np.ndarray, num_parts: int) -> np.ndarray:

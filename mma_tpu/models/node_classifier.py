@@ -31,10 +31,14 @@ class NodeClassifier:
     activation: str = "new_sigmoid"
     sigmoid_k: float = 2.0
     parity: bool = True
+    # Edge-pipeline compute dtype for both layers (see MMALayer).
+    compute_dtype: str = "float32"
 
     @property
     def gc1(self) -> GraphConvolution:
-        return GraphConvolution(self.n_feat, self.n_hidden)
+        return GraphConvolution(
+            self.n_feat, self.n_hidden, compute_dtype=self.compute_dtype
+        )
 
     @property
     def mma(self) -> MMALayer:
@@ -47,6 +51,7 @@ class NodeClassifier:
             sigmoid_k=self.sigmoid_k,
             mask_dropout=self.dropout_rate,
             parity=self.parity,
+            compute_dtype=self.compute_dtype,
         )
 
     def init(self, key):

@@ -44,6 +44,9 @@ class ZincNet:
     max_degree_hint: Optional[int] = None
     # Edge-pipeline compute dtype for the convs (see MultiMaskConv).
     compute_dtype: str = "float32"
+    # Edge-layout selection for the convs ("auto" | "csr" | "ell") —
+    # see ``MultiMaskConv.edge_format``.
+    edge_format: str = "auto"
 
     @property
     def node_emb(self):
@@ -69,6 +72,7 @@ class ZincNet:
             parity=self.parity,
             max_degree_hint=self.max_degree_hint,
             compute_dtype=self.compute_dtype,
+            edge_format=self.edge_format,
         )
 
     @property

@@ -22,6 +22,10 @@ class GraphConvolution:
     in_features: int
     out_features: int
     bias: bool = True
+    # Edge-pipeline dtype for the SpMM operand ("float32"|"bfloat16"|
+    # "auto"): the propagation is HBM-bound on the per-edge row stream;
+    # bf16 halves it. Accumulation stays f32 (see binary_spmm).
+    compute_dtype: str = "float32"
 
     def init(self, key):
         wk, bk = jax.random.split(key)
@@ -33,7 +37,10 @@ class GraphConvolution:
 
     def apply(self, params, x, graph: Graph, *, use_pallas: bool = False,
               axis_name=None):
+        from mma_tpu.autotune import resolve_compute_dtype
+
         support = x @ params["w"]
+        support = support.astype(resolve_compute_dtype(self.compute_dtype))
         out = binary_spmm(graph, support, use_pallas=use_pallas, axis_name=axis_name)
         if self.bias:
             out = out + params["b"]

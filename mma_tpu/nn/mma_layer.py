@@ -52,8 +52,10 @@ class MMALayer:
     bias: bool = True
     # Edge-pipeline compute dtype ("float32" | "bfloat16" | "auto");
     # bf16 halves gather/stream HBM traffic. "auto" resolves per
-    # platform at trace time (mma_tpu.autotune). Parity mode keeps
-    # float32.
+    # platform at trace time (mma_tpu.autotune): bf16 on TPU — even
+    # with parity=True (parity covers the reference's N1-N11 semantics,
+    # not bit-level f32 arithmetic; pass "float32" explicitly for the
+    # tightest numeric parity).
     compute_dtype: str = "float32"
 
     @property

@@ -93,6 +93,98 @@ def _apply_mask_activation(
     return jnp.where(pat[None, :], jax.nn.sigmoid(logits), logits)
 
 
+def _ell_masked_aggregate(h_c, mask_weights, pat, graph, spec, k, f,
+                          rng, rate, need_s2):
+    """K-way masked aggregation over the ELL dense-neighbor layout
+    (``mma_tpu.ops.ell``) — the scatter-free path for degree-bounded
+    graphs (fanout-bounded sampled subgraphs carry ``graph.ell_hint``).
+
+    Per slot: ``msg = act(c[dst] + d[src]) ⊙ tile(h[src], K)`` then a
+    masked sum over the slot axis — all fused XLA elementwise; the only
+    random access is one per-slot gather of the ``[d ‖ h]`` node table,
+    whose VJP is a sorted CSC segment sum (no scatter). Unlike the fused
+    CSR kernels this path also supports N2 mask dropout and the
+    std/moment_3 combines without demotion.
+
+    Returns ``(s, s2, cent3)``: the K masked sums (N, K·F); the masked
+    sums of squares (or None); and a closure
+    ``cent3(idx, mean) -> Σ (msg_k − mean[dst])³`` for moment_3.
+    """
+    from mma_tpu.ops.ell import ell_gather_nodes_by_src, ell_valid, pad_rows
+
+    n = graph.n_node
+    kf = k * f
+    t_w = kf + f  # per-slot lane width of the gathered [d ‖ h] table
+    c, d = mma_mask_projections(h_c, mask_weights)
+    table = jnp.concatenate([d, h_c], axis=1)  # (N, K·F + F)
+    parts = ell_gather_nodes_by_src(table, graph, spec)
+    valids = ell_valid(graph, spec)
+    dropout_on = rng is not None and rate > 0.0
+    c32 = c.astype(jnp.float32)
+    ranges = list(zip(spec.starts, spec.bounds))
+    # ONE rng draw per bucket (sliced per slot) — a draw per slot would
+    # instantiate W_b threefry programs per bucket and blow up compile
+    # time; the dropout pattern is this path's own rng partition anyway.
+    keeps = None
+    if dropout_on:
+        keys = jax.random.split(rng, len(parts))
+        keeps = [
+            jax.random.bernoulli(
+                keys[bi], 1.0 - rate,
+                (parts[bi].shape[0], spec.widths[bi] * kf),
+            )
+            for bi in range(len(parts))
+        ]
+
+    def slot_msg(bi, di):
+        """Slot ``di`` of bucket ``bi``: the (R_b, K·F) masked message."""
+        s_, b_ = ranges[bi]
+        td = parts[bi][:, di * t_w : (di + 1) * t_w].astype(jnp.float32)
+        logits = c32[s_:b_] + td[:, :kf]
+        mask = jnp.where(pat[None, :], jax.nn.sigmoid(logits), logits)
+        if keeps is not None:
+            keep = keeps[bi][:, di * kf : (di + 1) * kf]
+            mask = jnp.where(keep, mask / (1.0 - rate), 0.0)
+        h_e = td[:, kf:]
+        h_t = jnp.concatenate([h_e] * k, axis=-1) if k > 1 else h_e
+        return mask * h_t
+
+    s1_parts, s2_parts = [], []
+    for bi, w in enumerate(spec.widths):
+        s1 = s2b = None
+        for di in range(w):
+            msg = slot_msg(bi, di)
+            vd = valids[bi][:, di : di + 1]
+            term = jnp.where(vd, msg, 0.0)
+            s1 = term if s1 is None else s1 + term
+            if need_s2:
+                t2 = jnp.where(vd, msg * msg, 0.0)
+                s2b = t2 if s2b is None else s2b + t2
+        s1_parts.append(s1)
+        if need_s2:
+            s2_parts.append(s2b)
+    s = pad_rows(jnp.concatenate(s1_parts, axis=0), n)
+    s2 = (pad_rows(jnp.concatenate(s2_parts, axis=0), n)
+          if need_s2 else None)
+
+    def cent3(idx, mean):
+        outs = []
+        for bi, ((s_, b_), w) in enumerate(zip(ranges, spec.widths)):
+            acc = None
+            mean_b = mean[s_:b_]
+            for di in range(w):
+                msg_k = slot_msg(bi, di)[:, idx * f : (idx + 1) * f]
+                cent = jnp.where(
+                    valids[bi][:, di : di + 1],
+                    (msg_k - mean_b) ** 3, 0.0,
+                )
+                acc = cent if acc is None else acc + cent
+            outs.append(acc)
+        return pad_rows(jnp.concatenate(outs, axis=0), n)
+
+    return s, s2, cent3
+
+
 def masked_multi_aggregate(
     h: jnp.ndarray,
     graph: Graph,
@@ -143,7 +235,28 @@ def masked_multi_aggregate(
     # all README-preset aggregators keep the fully fused path.
     pallas_ok = use_pallas and graph.src_perm is not None
     fused_ok = pallas_ok and not dropout_on and not need_moments
-    if fused_ok:
+    # ELL dense-neighbor path: graphs with a structural degree-bucket
+    # layout (``graph.ell_hint`` — fanout-bounded sampled subgraphs) take
+    # the scatter-free slot format, which ALSO covers mask dropout and
+    # the moment combines (no demotion cliff). Unsharded reductions only.
+    ell_ctx = None
+    if (use_pallas and axis_name is None and graph.ell_hint is not None
+            and graph.chunk_hint is not None):
+        from mma_tpu.ops.ell import EllSpec
+
+        spec = EllSpec(
+            bounds=tuple(b for b, _ in graph.ell_hint),
+            widths=tuple(w for _, w in graph.ell_hint),
+        )
+        pat = _sigmoid_lane_pattern(specs, activation, parity, f)
+        s, s2_ell, cent3 = _ell_masked_aggregate(
+            h_c, mask_weights.astype(compute_dtype), pat, graph, spec,
+            k, f, rng if dropout_on else None, mask_dropout_rate,
+            need_s2=any(sp.combine == "std" for sp in specs),
+        )
+        msgs = None
+        ell_ctx = (s2_ell, cent3)
+    elif fused_ok:
         # Fully fused path: gathers + activation + multiply + segment-sum
         # through the Pallas edge program — no (E, K·F) mask/message
         # intermediates in HBM, and every backward scatter runs as a
@@ -207,11 +320,14 @@ def masked_multi_aggregate(
     deg = jnp.maximum(graph.deg, 1.0)[:, None]  # (N, 1), clamped
     outs = []
     if any(sp.combine == "std" for sp in specs):
-        msgs_sq = jnp.where(graph.edge_mask[:, None], msgs * msgs, 0.0)
-        s2 = segment_sum(msgs_sq.astype(jnp.float32), graph.dst, n, sorted=True)
-        if axis_name is not None:
-            s2 = jax.lax.psum(s2, axis_name)
-        s2 = s2.reshape(n, k, f)
+        if ell_ctx is not None:
+            s2 = ell_ctx[0].reshape(n, k, f)
+        else:
+            msgs_sq = jnp.where(graph.edge_mask[:, None], msgs * msgs, 0.0)
+            s2 = segment_sum(msgs_sq.astype(jnp.float32), graph.dst, n, sorted=True)
+            if axis_name is not None:
+                s2 = jax.lax.psum(s2, axis_name)
+            s2 = s2.reshape(n, k, f)
     for idx, sp in enumerate(specs):
         sk = s[:, idx, :]
         if sp.combine == "sum":
@@ -236,13 +352,16 @@ def masked_multi_aggregate(
             # catastrophically — degree-1 nodes have m3 ≡ 0 analytically,
             # and the cube root amplifies the f32 residue to ~1e-2.
             mean = sk / deg
-            msgs_k = msgs[:, idx * f : (idx + 1) * f]
-            cent = jnp.where(
-                graph.edge_mask[:, None], (msgs_k - mean[graph.dst]) ** 3, 0.0
-            )
-            s3 = segment_sum(cent, graph.dst, n, sorted=True)
-            if axis_name is not None:
-                s3 = jax.lax.psum(s3, axis_name)
+            if ell_ctx is not None:
+                s3 = ell_ctx[1](idx, mean)
+            else:
+                msgs_k = msgs[:, idx * f : (idx + 1) * f]
+                cent = jnp.where(
+                    graph.edge_mask[:, None], (msgs_k - mean[graph.dst]) ** 3, 0.0
+                )
+                s3 = segment_sum(cent, graph.dst, n, sorted=True)
+                if axis_name is not None:
+                    s3 = jax.lax.psum(s3, axis_name)
             m3 = s3 / deg
             # Signed cube root, continuous at 0: m3·(m3²+ε)^(-1/3) equals
             # cbrt(m3) for |m3| ≫ ε and is linear (not ±ε^(1/3)) at m3≈0 —

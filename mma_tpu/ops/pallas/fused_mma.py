@@ -1414,9 +1414,12 @@ def fused_mma_edge_program(
                 interpret=interpret, passes=passes, n_agg=n_agg,
             )
         else:
-            # One wide src-keyed pass for both dd and dh.
+            # One wide src-keyed pass for both dd and dh (tuned blocks
+            # threaded through — the row-block tuning applies to every
+            # pass of the backward, not just the dst kernel).
             src_side = fused_segment_sum_by_src(
-                payload[:e], g, precision=precision
+                payload[:e], g, precision=precision,
+                block_r=block_r, block_b=block_b,
             )
         dd, dh = src_side[:, :ckf], src_side[:, ckf:]
         return dc.astype(c.dtype), dd.astype(d.dtype), dh.astype(h.dtype)
@@ -1513,7 +1516,10 @@ def fused_mma_edge_program_lean(
             block_r=block_r, block_b=block_b, block_sub=block_sub,
             interpret=interpret, passes=passes, n_agg=n_agg, f=f,
         )
-        dh = fused_segment_sum_by_src(payload[:e], g, precision=precision)
+        dh = fused_segment_sum_by_src(
+            payload[:e], g, precision=precision,
+            block_r=block_r, block_b=block_b,
+        )
         return dc.astype(c.dtype), dw.astype(w_bot.dtype), dh.astype(h.dtype)
 
     _op.defvjp(_fwd, _bwd)

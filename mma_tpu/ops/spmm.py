@@ -31,6 +31,28 @@ def binary_spmm(
     edge shard to a full-size partial and partials combine with ``psum``
     (x and the output stay node-replicated).
     """
+    if (use_pallas and axis_name is None and graph.ell_hint is not None
+            and graph.chunk_hint is not None):
+        # ELL dense-neighbor path (degree-bounded graphs, e.g. sampled
+        # subgraphs): masked slot-axis sum of src-gathered rows — the
+        # gather's VJP is the sorted CSC segment sum (mma_tpu.ops.ell),
+        # no one-hot contraction and no scatter in either direction.
+        from mma_tpu.ops.ell import (
+            EllSpec,
+            ell_gather_nodes_by_src,
+            ell_valid,
+            masked_slot_sum,
+            pad_rows,
+        )
+
+        spec = EllSpec.from_hint(graph.ell_hint)
+        parts = ell_gather_nodes_by_src(x, graph, spec)
+        sums = [
+            masked_slot_sum(p.astype(jnp.float32), v, w)
+            for p, v, w in zip(parts, ell_valid(graph, spec), spec.widths)
+        ]
+        return pad_rows(jnp.concatenate(sums, axis=0), graph.n_node)
+
     if use_pallas and graph.src_perm is not None:
         from mma_tpu.ops.pallas.fused_mma import (
             fused_segment_sum,

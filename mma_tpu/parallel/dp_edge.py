@@ -104,7 +104,7 @@ def shard_batches_dp_edge(
             b,
             graph=dataclasses.replace(
                 b.graph, src_perm=None, col_ptr=None, src_csc=None,
-                dst_csc=None, chunk_hint=None,
+                dst_csc=None, chunk_hint=None, ell_hint=None,
             ),
         )
         prepared.append(b)

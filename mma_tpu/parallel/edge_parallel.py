@@ -144,7 +144,8 @@ def shard_graph(
         )
     else:
         graph = dataclasses.replace(
-            graph, chunk_hint=None, src_perm=None, col_ptr=None,
+            graph, chunk_hint=None, ell_hint=None, src_perm=None,
+            col_ptr=None,
             src_csc=None, dst_csc=None,
         )
     spec = graph_shard_spec(axis, kernel_structure)

@@ -97,6 +97,68 @@ class NodeShardedGraph:
 _dataclass_pytree(NodeShardedGraph)
 
 
+def partition_order(graph: Graph, num_shards: int, method: str = "ldg"):
+    """Locality-aware node ordering for the node-sharded regime.
+
+    Returns ``order`` — the original node ids arranged so each shard's
+    nodes are one contiguous block — computed by the native LDG streaming
+    partitioner (``native/graphops.cpp::mma_partition_ldg``): nodes go to
+    the part holding most of their already-placed neighbors, edge-load
+    balanced. On graphs with community structure this cuts the boundary
+    fraction several-fold vs contiguous cuts on a scrambled node order;
+    on locality-free random graphs it matches them (no partitioner can
+    beat random conductance). ``method="contiguous"`` (or a missing
+    native lib) returns the identity order.
+    """
+    num_nodes = int(np.asarray(graph.node_mask).sum())
+    if method == "ldg":
+        e_mask = np.asarray(graph.edge_mask)
+        src = np.asarray(graph.src)[e_mask]
+        dst = np.asarray(graph.dst)[e_mask]
+        counts = np.bincount(dst, minlength=num_nodes)
+        row_ptr = np.zeros(num_nodes + 1, np.int64)
+        np.cumsum(counts, out=row_ptr[1:])
+        part = native.partition_ldg(row_ptr, src, num_shards)
+        if part is not None:
+            return np.argsort(part, kind="stable").astype(np.int64)
+    return np.arange(num_nodes, dtype=np.int64)
+
+
+def build_node_sharded_ordered(
+    graph: Graph, num_shards: int, method: str = "ldg"
+) -> Tuple[NodeShardedGraph, np.ndarray, np.ndarray]:
+    """Partition + halo plan under a locality-aware node order.
+
+    Returns ``(sg, cuts, order)``: the stacked per-shard structure, cut
+    points in the REORDERED node sequence, and ``order`` itself (original
+    node ids; shard ``p`` owns ``order[cuts[p]:cuts[p+1]]``). Pass
+    ``order`` to :func:`shard_node_values` so features/labels follow the
+    same layout; ``sg.global_ids`` maps local rows back to original ids.
+    """
+    order = partition_order(graph, num_shards, method)
+    num_nodes = int(np.asarray(graph.node_mask).sum())
+    if np.array_equal(order, np.arange(num_nodes)):
+        sg, cuts = build_node_sharded(graph, num_shards)
+        return sg, cuts, order
+    inv = np.empty(num_nodes, np.int64)
+    inv[order] = np.arange(num_nodes)
+    e_mask = np.asarray(graph.edge_mask)
+    src = inv[np.asarray(graph.src)[e_mask]].astype(np.int32)
+    dst = inv[np.asarray(graph.dst)[e_mask]].astype(np.int32)
+    from mma_tpu.graph.build import graph_from_edges
+
+    g2 = graph_from_edges(src, dst, num_nodes,
+                          n_node_pad=graph.n_node, n_edge_pad=graph.n_edge)
+    sg, cuts = build_node_sharded(g2, num_shards)
+    # Map local rows back to ORIGINAL node ids for callers.
+    gids = np.asarray(sg.global_ids)
+    valid = gids >= 0
+    gids = gids.copy()
+    gids[valid] = order[gids[valid]]
+    sg = dataclasses.replace(sg, global_ids=jnp.asarray(gids))
+    return sg, cuts, order
+
+
 def build_node_sharded(graph: Graph, num_shards: int) -> Tuple[NodeShardedGraph, np.ndarray]:
     """Host-side partition + halo plan. Returns the stacked structure and
     the row cut points (``(num_shards+1,)`` global node ids)."""
@@ -238,8 +300,15 @@ def place_on_mesh(sharded: NodeShardedGraph, mesh: Mesh, axis: str = "node"):
     )
 
 
-def shard_node_values(values: np.ndarray, cuts: np.ndarray, n_m: int):
-    """Stack per-shard local value blocks (S, N_m, F) from global (N, F)."""
+def shard_node_values(values: np.ndarray, cuts: np.ndarray, n_m: int,
+                      order: "np.ndarray | None" = None):
+    """Stack per-shard local value blocks (S, N_m, F) from global (N, F).
+
+    ``order``: the node ordering from :func:`build_node_sharded_ordered`
+    (None = identity — plain :func:`build_node_sharded` layout)."""
+    values = np.asarray(values)
+    if order is not None:
+        values = values[order]
     s = len(cuts) - 1
     out = np.zeros((s, n_m) + values.shape[1:], values.dtype)
     for p in range(s):

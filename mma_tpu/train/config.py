@@ -66,6 +66,12 @@ class ZincConfig:
     n_edge_per_graph: int = 100
     use_pallas: bool = False
     remat: bool = False
+    # Conv edge pipeline knobs (see MultiMaskConv): compute dtype
+    # ("float32"|"bfloat16"|"auto"), edge layout ("auto"|"csr"|"ell"),
+    # and the static in-degree bound (ZINC ≤ 4, mma.py:57-60).
+    compute_dtype: str = "float32"
+    edge_format: str = "auto"
+    max_degree_hint: Optional[int] = 4
     matmul_precision: Optional[str] = "highest"  # see NodeClassificationConfig
     log_path: Optional[str] = None
     checkpoint_dir: Optional[str] = None

@@ -189,6 +189,9 @@ def train_zinc(cfg: ZincConfig, datasets=None):
         mlp_sizes=cfg.mlp_sizes,
         parity=cfg.parity,
         remat=cfg.remat,
+        compute_dtype=cfg.compute_dtype,
+        edge_format=cfg.edge_format,
+        max_degree_hint=cfg.max_degree_hint,
     )
     key = jax.random.PRNGKey(cfg.seed)
     key, init_key = jax.random.split(key)

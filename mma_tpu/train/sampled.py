@@ -156,7 +156,7 @@ def stack_graphs(graphs, keep_structure: bool = True):
     else:
         graphs = [
             dataclasses.replace(
-                g, chunk_hint=None, src_perm=None, col_ptr=None,
+                g, chunk_hint=None, ell_hint=None, src_perm=None, col_ptr=None,
                 src_csc=None, dst_csc=None,
             )
             for g in graphs
