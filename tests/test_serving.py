@@ -90,3 +90,34 @@ def test_export_restored_checkpoint_params(tmp_path):
     got = served(payload["params"], x, graph)
     want = model.apply(params, x, graph, training=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_pallas_path_export_roundtrip_same_platform():
+    """use_pallas=True exports for the CURRENT platform (the Mosaic
+    custom calls serialize; on CPU the kernels run interpret-mode, on
+    TPU the real kernels — verified on v5e by
+    scripts/export_pallas_probe.py, bit-exact vs the direct forward)."""
+    model, params, x, graph = _node_setup(seed=3)
+    blob = export_node_classifier(model, params, x, graph, use_pallas=True)
+    served = load_forward(blob)
+    got = served(params, x, graph)
+    want = model.apply(params, x, graph, training=False, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_ell_hint_graph_export_roundtrip():
+    """Graph aux (chunk_hint AND ell_hint) serializes through the JSON
+    auxdata codec; the ELL forward path round-trips."""
+    import dataclasses
+
+    from mma_tpu.ops.ell import max_indegree
+
+    model, params, x, graph = _node_setup(seed=4)
+    g_ell = dataclasses.replace(
+        graph, ell_hint=((graph.n_node, max_indegree(graph)),)
+    )
+    blob = export_node_classifier(model, params, x, g_ell, use_pallas=True)
+    served = load_forward(blob)
+    got = served(params, x, g_ell)
+    want = model.apply(params, x, g_ell, training=False, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
