@@ -39,6 +39,8 @@ __all__ = [
     "make_dp_edge_train_step",
     "NodeShardedGraph",
     "build_node_sharded",
+    "build_node_sharded_ordered",
+    "partition_order",
     "make_node_sharded_forward",
     "halo_exchange",
 ]
