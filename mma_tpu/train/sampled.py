@@ -190,6 +190,96 @@ def stack_sampled_batches(batches, features: np.ndarray, labels: np.ndarray,
     )
 
 
+class DeviceTableAssembler:
+    """Device-resident feature/label tables gathered by node ids.
+
+    Per batch only the (n_dev, N_pad) int32 id map crosses the
+    host↔device link (~2.6 MB at ogbn scale vs ~262 MB for f32 features
+    assembled host-side — measured ~5 s/batch of pure transfer on the
+    tunneled link). Real serving hosts feed features the same way: a
+    device-resident embedding/feature cache gathered by ids. Rows whose
+    id is ``-1`` (padding/holes) get zeros.
+    """
+
+    def __init__(self, features: np.ndarray, labels: np.ndarray):
+        self.feat_tab = jnp.asarray(features)
+        self.lab_tab = jnp.asarray(np.asarray(labels).astype(np.int32))
+
+        @jax.jit
+        def _assemble(ids, num_seeds):
+            valid = ids >= 0
+            safe = jnp.maximum(ids, 0) % self.feat_tab.shape[0]
+            x = jnp.where(valid[..., None], self.feat_tab[safe], 0.0)
+            y = jnp.where(valid, self.lab_tab[safe], 0)
+            sm = (
+                jax.lax.broadcasted_iota(jnp.int32, ids.shape, 1)
+                < num_seeds[:, None]
+            ).astype(jnp.float32)
+            return x, y, sm
+
+        self._assemble = _assemble
+
+    def __call__(self, batches):
+        """Stack per-device :class:`SampledBatch`es → (x, y, seed_mask)."""
+        ids = jnp.asarray(np.stack([b.node_ids for b in batches]))
+        nseed = jnp.asarray(
+            np.array([b.num_seeds for b in batches], np.int32)
+        )
+        return self._assemble(ids, nseed)
+
+
+def sampled_batch_producer(sampler, seed_batches, assembler,
+                           *, n_node_pad, n_edge_pad, hop_node_pads=None,
+                           use_pallas=True, queue_depth=2):
+    """Generator of ``(x, graph, y, seed_mask)`` DP inputs with host
+    sampling + assembly running in a producer thread, double-buffered so
+    it overlaps the device step (the pipeline pattern behind the ogbn
+    bench: host ~0.74 s/batch with the native sampler vs a ~1.4 s device
+    step — device-bound).
+
+    ``seed_batches``: iterable of (n_dev, batch) seed-id arrays.
+    """
+    import queue as _queue
+    import threading
+
+    q = _queue.Queue(maxsize=queue_depth)
+    err = []
+
+    def make_inputs(seeds_nd):
+        batches = [
+            sampler.sample(
+                s, n_node_pad=n_node_pad, n_edge_pad=n_edge_pad,
+                hop_node_pads=hop_node_pads,
+            )
+            for s in seeds_nd
+        ]
+        graph = stack_graphs(
+            [b.graph for b in batches], keep_structure=use_pallas
+        )
+        x, y, sm = assembler(batches)
+        return x, graph, y, sm
+
+    def producer():
+        try:
+            for seeds_nd in seed_batches:
+                q.put(make_inputs(seeds_nd))
+        except Exception as e:  # surfaced by the consumer loop
+            err.append(e)
+        finally:
+            q.put(None)
+
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        yield item
+    th.join()
+    if err:
+        raise err[0]
+
+
 def make_sampled_dp_step(model, opt, mesh, axis: str = "data",
                          use_pallas: bool = False):
     """Data-parallel sampled-minibatch step: one sampled subgraph per

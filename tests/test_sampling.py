@@ -149,3 +149,48 @@ def test_sampled_dp_step_matches_pooled_single_device(use_pallas):
     np.testing.assert_allclose(float(loss_dp), float(l_ref), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p_dp), jax.tree.leaves(p_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_device_table_assembler_and_producer():
+    """Round-4 production pipeline pieces: device-resident table assembly
+    (only int32 ids cross the host link) and the double-buffered
+    producer generator — outputs match the host-side assembly."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from mma_tpu.data.sampling import NeighborSampler
+    from mma_tpu.train.sampled import (
+        DeviceTableAssembler,
+        prepare_sampled_arrays,
+        sampled_batch_producer,
+    )
+
+    rs = np.random.RandomState(0)
+    n, m = 2000, 12000
+    a = rs.randint(0, n, m).astype(np.int32)
+    b = rs.randint(0, n, m).astype(np.int32)
+    keep = a != b
+    sampler = NeighborSampler.from_host_arrays(
+        np.concatenate([a[keep], b[keep]]),
+        np.concatenate([b[keep], a[keep]]), n, (4, 3), seed=1,
+    )
+    feats = rs.randn(n, 8).astype(np.float32)
+    labels = rs.randint(0, 5, n)
+    assembler = DeviceTableAssembler(feats, labels)
+
+    seed_batches = [rs.randint(0, n, size=(2, 16)) for _ in range(3)]
+    got = list(sampled_batch_producer(
+        sampler, iter(seed_batches), assembler,
+        n_node_pad=2048, n_edge_pad=2048,
+    ))
+    assert len(got) == 3
+    for x, g, y, sm in got:
+        assert x.shape == (2, 2048, 8) and y.shape == (2, 2048)
+    # direct equivalence check on a single batch
+    bt = sampler.sample(seed_batches[0][0], n_node_pad=2048, n_edge_pad=2048)
+    x_h, y_h, sm_h = prepare_sampled_arrays(bt, feats, labels)
+    x_d, y_d, sm_d = assembler([bt])
+    np.testing.assert_allclose(np.asarray(x_d)[0], x_h, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(y_d)[0], y_h)
+    np.testing.assert_array_equal(np.asarray(sm_d)[0], sm_h)
