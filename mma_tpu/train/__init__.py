@@ -7,8 +7,10 @@ from mma_tpu.train.config import (
     ZINC_PRESET,
 )
 from mma_tpu.train.loops import train_node_classification, train_zinc
+from mma_tpu.train.resilience import ResilientRunner
 
 __all__ = [
+    "ResilientRunner",
     "make_optimizer",
     "ReduceLROnPlateau",
     "accuracy",

@@ -123,3 +123,100 @@ def test_node_cls_resume_from_checkpoint(tmp_path):
     )
     assert [h["epoch"] for h in r3["history"]] == [5, 6]
     assert np.isfinite(r3["acc_test"])
+
+
+class TestResilience:
+    """SURVEY §5.3: failure detection + checkpoint-restart with fault
+    injection (the reference loses the run on any crash)."""
+
+    def _setup(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        rs = np.random.RandomState(0)
+        w0 = jnp.asarray(rs.randn(8, 4).astype(np.float32))
+        opt = optax.adam(1e-2)
+        batches = [jnp.asarray(rs.randn(16, 8).astype(np.float32))
+                   for _ in range(8)]
+
+        @jax.jit
+        def step(state, batch):
+            params, opt_state = state
+            def loss(p):
+                return jnp.mean((batch @ p) ** 2)
+            l, g = jax.value_and_grad(loss)(params)
+            updates, opt_state = opt.update(g, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), l
+
+        return step, (w0, opt.init(w0)), batches
+
+    def test_recovers_from_injected_faults(self, tmp_path):
+        import numpy as np
+        from mma_tpu.train.resilience import ResilientRunner
+
+        step, state0, batches = self._setup()
+
+        visits = {}
+        def inject(i):
+            visits[i] = visits.get(i, 0) + 1
+            if i == 3 and visits[i] <= 2:
+                return "injected"  # deterministic bad batch: skipped
+            if i == 5 and visits[i] == 1:
+                return "injected"  # transient: retried once, succeeds
+            return None
+
+        runner = ResilientRunner(
+            str(tmp_path / "ckpt"), checkpoint_every=2, max_restarts=5,
+            inject_fault=inject,
+        )
+        final = runner.run(step, state0, batches)
+        kinds = [f.kind for f in runner.failures]
+        assert len(kinds) == 3  # 2× batch 3, 1× batch 5
+
+        # Equivalence: the recovered run == a clean run over the same
+        # batches with the deterministically-bad batch removed.
+        clean = ResilientRunner(
+            str(tmp_path / "ckpt_clean"), checkpoint_every=0,
+        )
+        expect = clean.run(
+            step, state0, [b for i, b in enumerate(batches) if i != 3]
+        )
+        np.testing.assert_allclose(
+            np.asarray(final[0]), np.asarray(expect[0]), atol=1e-6
+        )
+
+    def test_crash_loop_raises(self, tmp_path):
+        import pytest
+        from mma_tpu.train.resilience import ResilientRunner
+
+        step, state0, batches = self._setup()
+
+        def always_fail(i):
+            return "injected" if i >= 1 else None
+
+        runner = ResilientRunner(
+            str(tmp_path / "ckpt"), checkpoint_every=1, max_restarts=2,
+            inject_fault=always_fail,
+        )
+        with pytest.raises(RuntimeError, match="max_restarts"):
+            runner.run(step, state0, batches)
+
+    def test_resume_from_disk(self, tmp_path):
+        import numpy as np
+        from mma_tpu.train.resilience import ResilientRunner
+
+        step, state0, batches = self._setup()
+        d = str(tmp_path / "ckpt")
+        r1 = ResilientRunner(d, checkpoint_every=2)
+        r1.run(step, state0, batches[:4])
+        # a "new process" resumes from the on-disk checkpoint and
+        # finishes the remaining batches
+        r2 = ResilientRunner(d, checkpoint_every=2)
+        final = r2.run(step, state0, batches)
+        clean = ResilientRunner(str(tmp_path / "c2"), checkpoint_every=0)
+        expect = clean.run(step, state0, batches)
+        np.testing.assert_allclose(
+            np.asarray(final[0]), np.asarray(expect[0]), atol=1e-6
+        )
