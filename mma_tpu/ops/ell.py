@@ -287,12 +287,27 @@ def ell_gather_nodes_by_src(x: jnp.ndarray, graph: Graph, spec: EllSpec):
         flat = jnp.concatenate(
             [ct.reshape(-1, c) for ct in cts], axis=0
         )
-        ct_e = _collapse(flat, g, spec, x.dtype)
-        if g.col_ptr is not None:
-            from mma_tpu.ops.pallas.fused_mma import fused_segment_sum_by_src
+        if g.col_ptr is not None and g.src_perm is not None:
+            # Collapse straight INTO CSC edge order: compose the
+            # slot→edge map with the CSC permutation (one int32 gather)
+            # so the wide row data crosses HBM once — row gathers are
+            # issue-rate bound (~20-26 ns/row regardless of width), and
+            # the separate collapse → permute → reduce chain costs two
+            # extra full row passes.
+            from mma_tpu.ops.pallas.fused_mma import fused_segment_sum_csc
 
-            dx = fused_segment_sum_by_src(ct_e, g)
+            slot, ok = _slot_of_edge(g, spec)
+            slot_csc = slot[g.src_perm]
+            ok_csc = ok[g.src_perm]
+            flat = flat.astype(x.dtype)
+            ct_csc = jnp.where(
+                ok_csc[:, None],
+                flat[jnp.clip(slot_csc, 0, flat.shape[0] - 1)],
+                0,
+            )
+            dx = fused_segment_sum_csc(ct_csc, g)
         else:
+            ct_e = _collapse(flat, g, spec, x.dtype)
             dx = jax.ops.segment_sum(
                 ct_e.astype(jnp.float32), g.src, g.n_node
             )

@@ -233,10 +233,16 @@ class TestLayerEllPath:
             assert float(jnp.abs(a - b).max()) / scale < 2e-4
 
     def test_binary_spmm_matches(self):
+        # Target the ELL *fallback* branch: strip the CSR/CSC kernel
+        # structure (with it present, binary_spmm prefers the CSR path —
+        # measured faster for a plain SpMM).
         from mma_tpu.ops.spmm import binary_spmm
 
         g, rs = _bounded_graph(n=70, max_deg=5, seed=7)
-        g_ell = _with_hint(g)
+        g_ell = dataclasses.replace(
+            _with_hint(g), src_perm=None, col_ptr=None, src_csc=None,
+            dst_csc=None,
+        )
         x = jnp.asarray(rs.randn(g.n_node, 12).astype(np.float32))
         a = binary_spmm(g, x, use_pallas=False)
         b = binary_spmm(g_ell, x, use_pallas=True)
@@ -306,7 +312,11 @@ class TestSamplerHoppedLayout:
         o_xla = run_model(b_new, False)
         o_ell = run_model(b_new, True)
         np.testing.assert_allclose(o_old, o_xla, atol=1e-5)
-        np.testing.assert_allclose(o_xla, o_ell, atol=1e-5)
+        # use_pallas=True now runs the HYBRID fast path (ELL aggregate +
+        # CSR-kernel SpMM): the kernel's 2-term bf16 operand split is
+        # ~1e-6 relative, so the tolerance is the kernel suite's, not
+        # exact-gather tight.
+        np.testing.assert_allclose(o_xla, o_ell, atol=1e-4)
 
     def test_overflow_raises(self):
         mk, seeds = self._make()
