@@ -169,3 +169,37 @@ class TestLdgPartition:
             v = gids[p] >= 0
             res[gids[p][v]] = out[p][v]
         np.testing.assert_allclose(res, full, atol=2e-4)
+
+
+class TestSamplerEdgeCases:
+    @needs_native
+    def test_duplicate_seeds_get_edgeless_rows(self):
+        """Duplicate seed ids: both backends keep one row per seed slot
+        (loss rows stay aligned with the seed array) and route sampled
+        edges to the first occurrence."""
+        src, dst, rs = _random_graph(n=2000, m=8000, seed=5)
+        seeds = np.array([7, 7, 12, 7, 99], np.int64)
+        for use_native in (True, False):
+            bt = NeighborSampler.from_host_arrays(
+                src, dst, 2000, (3, 2), seed=1, use_native=use_native
+            ).sample(seeds, n_node_pad=4096, n_edge_pad=4096)
+            assert bt.num_seeds == 5
+            np.testing.assert_array_equal(bt.node_ids[:5], seeds)
+            rp = np.asarray(bt.graph.row_ptr)
+            run = np.diff(rp)
+            # duplicate rows (1 and 3) have no in-edges
+            assert run[1] == 0 and run[3] == 0
+
+    @needs_native
+    def test_empty_frontier_hops(self):
+        """Seeds with no in-neighbors: later hops are empty, sampling
+        still produces a valid (edgeless) batch in both backends."""
+        # a star graph where only node 0 has in-edges
+        src = np.arange(1, 50, dtype=np.int32)
+        dst = np.zeros(49, np.int32)
+        for use_native in (True, False):
+            bt = NeighborSampler.from_host_arrays(
+                src, dst, 50, (4, 4), seed=0, use_native=use_native
+            ).sample(np.array([5, 9]), n_node_pad=64, n_edge_pad=128)
+            assert int(np.asarray(bt.graph.num_edges)) == 0
+            assert bt.num_nodes == 2
