@@ -541,7 +541,7 @@ def node_sharded_scaling_model(
 
 def bench_ogbn_sampled(
     n=2_400_000, avg_deg=50, batch_size=1024, fanouts=(10, 10, 5),
-    n_batches=10, use_pallas=True, use_ell=False,
+    n_batches=10, use_pallas=True, use_ell=False, device_finish=False,
 ):
     """BASELINE config[4]: ogbn-products-scale synthetic power-law graph
     (2.4M nodes / ~120M directed edges) trained with neighbor sampling —
@@ -642,9 +642,20 @@ def bench_ogbn_sampled(
     # vs 262 MB for assembled f32 features — on the tunneled axon link
     # the assembled-on-host variant spent ~5 s/batch in transfer alone).
     # Real serving hosts feed features the same way: a device-resident
-    # embedding/feature cache gathered by ids.
+    # embedding/feature cache gathered by ids. The same principle now
+    # covers the GRAPH: only (src, dst, ids) cross the link (~10 MB) and
+    # the CSR/CSC views, masks and true degrees are derived on device
+    # (graph.device_build.finish_graph_on_device + a device-resident
+    # degree table) — the full host-built Graph shipped ~30 MB/batch.
     feat_tab = jnp.asarray(features)
     lab_tab = jnp.asarray(labels_tab.astype(np.int32))
+    deg_tab = jnp.asarray(sampler.true_deg)
+    from mma_tpu.graph.device_build import (
+        finish_graph_on_device,
+        shape_canonical_chunk_hint,
+    )
+
+    canon_hint = shape_canonical_chunk_hint(n_edge_pad, n_node_pad)
 
     @jax.jit
     def assemble(ids, num_seeds):
@@ -658,9 +669,63 @@ def bench_ogbn_sampled(
         ).astype(jnp.float32)
         return x, y, sm
 
+    def make_inputs_device_finish(bi):
+        """Minimal-transfer variant (``device_finish=True``): ship only
+        (src, dst, ids) per device and derive CSR/CSC/masks/degrees on
+        device. Measured on THIS machine: host 0.74 → 0.25 s/batch but
+        device 1.40 → 2.16 s — the device lexsort for the CSC view costs
+        more than the ~20 MB of tunnel transfer it saves, so the default
+        stays host-built. On real hosts (GB/s links, fast host sorts in
+        C++) the right split depends on the actual link; both pipelines
+        are tested equivalent."""
+        t0 = time.perf_counter()
+        arrs = [
+            sampler.sample_arrays(
+                seeds_all[bi, d], n_node_pad=n_node_pad,
+                n_edge_pad=n_edge_pad,
+                hop_node_pads=hop_pads if use_ell else None,
+            )
+            for d in range(n_dev)
+        ]
+        if use_pallas:
+            members = [
+                finish_graph_on_device(
+                    jnp.asarray(ar.src), jnp.asarray(ar.dst),
+                    jnp.asarray(ar.node_ids),
+                    jnp.int32(ar.num_edges), deg_tab,
+                    chunk_hint=canon_hint, ell_hint=ar.ell_hint,
+                )
+                for ar in arrs
+            ]
+        else:
+            import dataclasses as _dc
+
+            members = [
+                _dc.replace(
+                    finish_graph_on_device(
+                        jnp.asarray(ar.src), jnp.asarray(ar.dst),
+                        jnp.asarray(ar.node_ids),
+                        jnp.int32(ar.num_edges), deg_tab,
+                    ),
+                    src_perm=None, col_ptr=None, src_csc=None,
+                    dst_csc=None,
+                )
+                for ar in arrs
+            ]
+        graph = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *members)
+        ids = jnp.asarray(np.stack([ar.node_ids for ar in arrs]))
+        nseed = jnp.asarray(
+            np.array([ar.num_seeds for ar in arrs], np.int32)
+        )
+        x, y, sm = assemble(ids, nseed)
+        n_e = sum(ar.num_edges for ar in arrs)
+        return (x, graph, y, sm, n_e, time.perf_counter() - t0)
+
     def make_inputs(bi):
         """Sample + assemble one step's inputs (host side, thread-safe:
         own RandomState stream via the precomputed seed table)."""
+        if device_finish:
+            return make_inputs_device_finish(bi)
         t0 = time.perf_counter()
         batches = []
         for d in range(n_dev):
@@ -727,6 +792,7 @@ def bench_ogbn_sampled(
         "fanouts": list(fanouts),
         "use_pallas": use_pallas,
         "use_ell": use_ell,
+        "device_finish": device_finish,
         "n_node_pad": n_node_pad,
         "n_edge_pad": n_edge_pad,
         "final_loss": float(loss),

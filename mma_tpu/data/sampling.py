@@ -40,6 +40,23 @@ class SampledBatch:
     num_nodes: int
 
 
+@dataclasses.dataclass
+class SampledArrays:
+    """Minimal host output of one sample (``sample_arrays``): just the
+    dst-sorted padded endpoints + the id map — everything else (masks,
+    degrees, CSR/CSC views) is derived on device by
+    ``graph.device_build.finish_graph_on_device``, cutting the per-batch
+    host→device traffic ~3×."""
+
+    src: np.ndarray  # (E_pad,) int32, dst-sorted, padding at tail
+    dst: np.ndarray  # (E_pad,) int32
+    node_ids: np.ndarray  # (N_pad,) int32 global ids (pad/hole → -1)
+    num_edges: int
+    num_seeds: int
+    num_nodes: int
+    ell_hint: "tuple | None" = None
+
+
 class NeighborSampler:
     """Samples layered neighborhoods from a host-resident graph."""
 
@@ -244,6 +261,85 @@ class NeighborSampler:
             node_ids=ids_pad,
             num_seeds=len(seeds),
             num_nodes=len(node_ids),
+        )
+
+    def sample_arrays(
+        self,
+        seeds: np.ndarray,
+        *,
+        n_node_pad: int,
+        n_edge_pad: int,
+        hop_node_pads: Optional[Sequence[int]] = None,
+    ) -> SampledArrays:
+        """Sample one subgraph, returning only the minimal host arrays
+        (see :class:`SampledArrays`); pair with
+        ``graph.device_build.finish_graph_on_device`` + a device-resident
+        ``true_deg`` table. Layout semantics match :meth:`sample`."""
+        from mma_tpu.graph import native as gnative
+
+        seeds = np.asarray(seeds, np.int64)
+        hop_counts, node_ids, src_l, dst_l = self._structure(
+            seeds,
+            (sum(hop_node_pads) if hop_node_pads is not None else n_node_pad),
+            n_edge_pad,
+        )
+        ell_hint = None
+        if hop_node_pads is not None:
+            pads = tuple(hop_node_pads)
+            if len(pads) != len(self.fanouts) + 1:
+                raise ValueError(
+                    f"hop_node_pads needs {len(self.fanouts) + 1} entries"
+                )
+            for h, c in enumerate(hop_counts):
+                if c > pads[h]:
+                    raise ValueError(
+                        f"hop {h}: {c} nodes > budget {pads[h]}"
+                    )
+            offs = np.concatenate([[0], np.cumsum(pads)]).astype(np.int64)
+            loc = np.concatenate(
+                [offs[h] + np.arange(c, dtype=np.int64)
+                 for h, c in enumerate(hop_counts)]
+            )
+            src_l = loc[src_l].astype(np.int32)
+            dst_l = loc[dst_l].astype(np.int32)
+            total = int(offs[-1])
+            ell_hint = tuple(
+                (int(offs[h + 1]), int(self.fanouts[h]))
+                for h in range(len(self.fanouts))
+            )
+            ids_pad = np.full(n_node_pad, -1, np.int32)
+            ids_pad[loc] = node_ids
+            if n_node_pad <= total:
+                raise ValueError(f"n_node_pad={n_node_pad} <= {total}")
+        else:
+            if n_node_pad <= len(node_ids):
+                raise ValueError(
+                    f"n_node_pad={n_node_pad} <= {len(node_ids)} nodes"
+                )
+            ids_pad = np.full(n_node_pad, -1, np.int32)
+            ids_pad[: len(node_ids)] = node_ids
+        if n_edge_pad < len(src_l):
+            raise ValueError(f"n_edge_pad={n_edge_pad} < {len(src_l)} edges")
+
+        src_s, dst_s, _ = gnative.sort_edges(
+            src_l.astype(np.int32), dst_l.astype(np.int32), n_node_pad
+        )
+        pad_e = n_edge_pad - len(src_s)
+        pad_node = n_node_pad - 1
+        src_p = np.concatenate(
+            [src_s, np.full(pad_e, pad_node, np.int32)]
+        )
+        dst_p = np.concatenate(
+            [dst_s, np.full(pad_e, pad_node, np.int32)]
+        )
+        return SampledArrays(
+            src=src_p,
+            dst=dst_p,
+            node_ids=ids_pad,
+            num_edges=len(src_s),
+            num_seeds=len(seeds),
+            num_nodes=len(node_ids),
+            ell_hint=ell_hint,
         )
 
     def _structural_node_bound(self, n_seeds: int) -> int:

@@ -194,3 +194,58 @@ def test_device_table_assembler_and_producer():
     np.testing.assert_allclose(np.asarray(x_d)[0], x_h, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(y_d)[0], y_h)
     np.testing.assert_array_equal(np.asarray(sm_d)[0], sm_h)
+
+
+def test_device_finished_graph_matches_host_built():
+    """sample_arrays + finish_graph_on_device reproduces the host-built
+    Graph field-for-field (both layouts) — the minimal-transfer pipeline
+    is semantics-identical."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mma_tpu.data.sampling import NeighborSampler
+    from mma_tpu.graph.device_build import finish_graph_on_device
+
+    rs = np.random.RandomState(0)
+    n, m = 3000, 18000
+    a = rs.randint(0, n, m).astype(np.int32)
+    b = rs.randint(0, n, m).astype(np.int32)
+    keep = a != b
+    src = np.concatenate([a[keep], b[keep]])
+    dst = np.concatenate([b[keep], a[keep]])
+    mk = lambda: NeighborSampler.from_host_arrays(src, dst, n, (4, 3), seed=2)
+    seeds = rs.choice(n, 32, replace=False)
+    deg_table = jnp.asarray(mk().true_deg)
+
+    for pads in (None, (32, 160, 768)):
+        kw = dict(n_node_pad=2048, n_edge_pad=2048, hop_node_pads=pads)
+        host = mk().sample(seeds, **kw)
+        arr = mk().sample_arrays(seeds, **kw)
+        dev = finish_graph_on_device(
+            jnp.asarray(arr.src), jnp.asarray(arr.dst),
+            jnp.asarray(arr.node_ids),
+            jnp.asarray(np.int32(arr.num_edges)), deg_table,
+            chunk_hint=host.graph.chunk_hint, ell_hint=arr.ell_hint,
+        )
+        g_h = host.graph
+        assert dev.ell_hint == g_h.ell_hint
+        np.testing.assert_array_equal(np.asarray(dev.src), np.asarray(g_h.src))
+        np.testing.assert_array_equal(np.asarray(dev.dst), np.asarray(g_h.dst))
+        np.testing.assert_array_equal(
+            np.asarray(dev.edge_mask), np.asarray(g_h.edge_mask))
+        np.testing.assert_array_equal(
+            np.asarray(dev.node_mask), np.asarray(g_h.node_mask))
+        np.testing.assert_array_equal(
+            np.asarray(dev.deg), np.asarray(g_h.deg))
+        np.testing.assert_array_equal(
+            np.asarray(dev.row_ptr), np.asarray(g_h.row_ptr))
+        np.testing.assert_array_equal(
+            np.asarray(dev.col_ptr), np.asarray(g_h.col_ptr))
+        np.testing.assert_array_equal(
+            np.asarray(dev.src_csc), np.asarray(g_h.src_csc))
+        np.testing.assert_array_equal(
+            np.asarray(dev.dst_csc), np.asarray(g_h.dst_csc))
+        np.testing.assert_array_equal(
+            np.asarray(dev.src_perm), np.asarray(g_h.src_perm))
+        np.testing.assert_array_equal(
+            arr.node_ids, np.asarray(host.node_ids).astype(np.int32))
