@@ -9,8 +9,13 @@ EDGE_PAD_MULTIPLE is a multiple of BLOCK_B so edge arrays tile exactly.
 import os
 
 BLOCK_R = 128  # output rows per kernel block
-BLOCK_B = 1024  # edges per kernel chunk (8 × 128-lane sub-chunks)
-BLOCK_SUB = 128  # contraction width per MXU pass
+BLOCK_B = 1024  # edges per kernel chunk
+# Contraction width per MXU pass of the one-hot sum kernels. Swept on
+# v5e at the headline shapes (round 4): 512 beats 128 by +16% fwd /
+# +9% train on the lean edge program (fewer, bigger (R, S)×(S, C) dots
+# amortize the per-sub-chunk select/onehot VPU work); must divide
+# BLOCK_B. Env-overridable for re-tuning on other parts.
+BLOCK_SUB = int(os.environ.get("MMA_BLOCK_SUB", "512"))
 NODE_PAD_MULTIPLE = 8
 EDGE_PAD_MULTIPLE = BLOCK_B
 

@@ -655,6 +655,10 @@ def _fused_segment_sum(data, dst, row_ptr, *, block_r, block_b,
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
+    # Shard-local callers can have block_b < the global BLOCK_SUB
+    # (fused_segment_sum_raw clamps block_b to the local edge pad);
+    # the contraction width must divide the chunk.
+    block_sub = min(block_sub, block_b)
     n_sub = block_b // block_sub
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -697,6 +701,10 @@ def _fused_masked_segment_sum(logits, h_src, pattern, dst, row_ptr, *, block_r,
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
+    # Shard-local callers can have block_b < the global BLOCK_SUB
+    # (fused_segment_sum_raw clamps block_b to the local edge pad);
+    # the contraction width must divide the chunk.
+    block_sub = min(block_sub, block_b)
     n_sub = block_b // block_sub
     f = ckf // n_agg
 
@@ -749,6 +757,10 @@ def _fused_program_fwd(c, dh_src, pattern, dst, row_ptr, *, block_r, block_b,
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
+    # Shard-local callers can have block_b < the global BLOCK_SUB
+    # (fused_segment_sum_raw clamps block_b to the local edge pad);
+    # the contraction width must divide the chunk.
+    block_sub = min(block_sub, block_b)
     n_sub = block_b // block_sub
     ckf = c.shape[1]
     n_rows = int(num_blocks) * block_r
@@ -804,6 +816,10 @@ def _fused_program_bwd(c, ct, dh_src, pattern, dst, row_ptr, n_real, *,
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
+    # Shard-local callers can have block_b < the global BLOCK_SUB
+    # (fused_segment_sum_raw clamps block_b to the local edge pad);
+    # the contraction width must divide the chunk.
+    block_sub = min(block_sub, block_b)
     n_sub = block_b // block_sub
     ckf = c.shape[1]
     n_rows = int(num_blocks) * block_r
@@ -870,6 +886,10 @@ def _fused_program_bwd_csc(ctc, d, h, pattern, src_csc, col_ptr, *,
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(col_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
+    # Shard-local callers can have block_b < the global BLOCK_SUB
+    # (fused_segment_sum_raw clamps block_b to the local edge pad);
+    # the contraction width must divide the chunk.
+    block_sub = min(block_sub, block_b)
     n_sub = block_b // block_sub
     ckf = d.shape[1]
     f = h.shape[1]
@@ -928,6 +948,10 @@ def _fused_program_fwd_lean(c, hg, w, pattern, dst, row_ptr, *, block_r,
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
+    # Shard-local callers can have block_b < the global BLOCK_SUB
+    # (fused_segment_sum_raw clamps block_b to the local edge pad);
+    # the contraction width must divide the chunk.
+    block_sub = min(block_sub, block_b)
     n_sub = block_b // block_sub
     ckf = c.shape[1]
     n_rows = int(num_blocks) * block_r
@@ -983,6 +1007,10 @@ def _fused_program_bwd_lean(c, ct, hg, w, wt, pattern, dst, row_ptr, n_real,
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
+    # Shard-local callers can have block_b < the global BLOCK_SUB
+    # (fused_segment_sum_raw clamps block_b to the local edge pad);
+    # the contraction width must divide the chunk.
+    block_sub = min(block_sub, block_b)
     n_sub = block_b // block_sub
     ckf = c.shape[1]
     n_rows = int(num_blocks) * block_r
@@ -1113,6 +1141,10 @@ def _fused_segment_sum_sq(data, dst, row_ptr, *, block_r, block_b,
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
+    # Shard-local callers can have block_b < the global BLOCK_SUB
+    # (fused_segment_sum_raw clamps block_b to the local edge pad);
+    # the contraction width must divide the chunk.
+    block_sub = min(block_sub, block_b)
     n_sub = block_b // block_sub
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
