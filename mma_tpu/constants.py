@@ -16,6 +16,10 @@ BLOCK_B = 1024  # edges per kernel chunk
 # amortize the per-sub-chunk select/onehot VPU work); must divide
 # BLOCK_B. Env-overridable for re-tuning on other parts.
 BLOCK_SUB = int(os.environ.get("MMA_BLOCK_SUB", "512"))
+if BLOCK_B % BLOCK_SUB:
+    raise ValueError(
+        f"MMA_BLOCK_SUB={BLOCK_SUB} must divide BLOCK_B={BLOCK_B}"
+    )
 NODE_PAD_MULTIPLE = 8
 EDGE_PAD_MULTIPLE = BLOCK_B
 

@@ -307,10 +307,10 @@ class NeighborSampler:
                 (int(offs[h + 1]), int(self.fanouts[h]))
                 for h in range(len(self.fanouts))
             )
-            ids_pad = np.full(n_node_pad, -1, np.int32)
-            ids_pad[loc] = node_ids
             if n_node_pad <= total:
                 raise ValueError(f"n_node_pad={n_node_pad} <= {total}")
+            ids_pad = np.full(n_node_pad, -1, np.int32)
+            ids_pad[loc] = node_ids
         else:
             if n_node_pad <= len(node_ids):
                 raise ValueError(

@@ -367,11 +367,22 @@ class MultiMaskConv:
                 for k, v in raw.items()
             }
             outs = []
+            if minmax:
+                # Empty-row select keys on ACTUAL slot validity, not
+                # graph.deg: in the hopped sampled layout deg holds
+                # full-graph true degrees, and duplicate seeds produce
+                # edgeless duplicate rows with deg > 0 — keying on deg
+                # would pass the min/max ±inf neutral through (ADVICE r4).
+                row_has_slot = pad_rows(
+                    jnp.concatenate(
+                        [vb.any(axis=1, keepdims=True) for vb in valids],
+                        axis=0,
+                    ).astype(jnp.float32),
+                    n,
+                ) > 0
             for a in wanted:
                 if a in ("min", "max"):
-                    outs.append(
-                        jnp.where(graph.deg[:, None] > 0, cat[a], 0.0)
-                    )
+                    outs.append(jnp.where(row_has_slot, cat[a], 0.0))
                 elif a == "sum":
                     outs.append(cat["s1"])
                 elif a == "mean":

@@ -645,6 +645,22 @@ def _grid_and_prefetch(row_ptr, e_pad, block_r, block_b):
     return n, num_blocks, num_data_chunks, total_steps, starts, ends, block_of, chunk_of
 
 
+def _fit_block_sub(block_sub, block_b):
+    """Largest divisor of ``block_b`` that is <= the requested contraction width.
+
+    Shard-local callers can have block_b below the global BLOCK_SUB, or a
+    non-power-of-two multiple of 128 (node-sharded pads like 640/768/896):
+    a plain ``min`` clamp then picks a width that does not divide the chunk
+    and the ``dst.reshape(num_chunks, n_sub, block_sub)`` fails at trace
+    time. Halve until it divides (block_b is always a multiple of 128, so
+    this terminates at a 128-multiple or at block_b itself).
+    """
+    block_sub = min(block_sub, block_b)
+    while block_b % block_sub:
+        block_sub //= 2
+    return block_sub
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_r", "block_b", "block_sub", "interpret", "passes")
 )
@@ -655,10 +671,7 @@ def _fused_segment_sum(data, dst, row_ptr, *, block_r, block_b,
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
-    # Shard-local callers can have block_b < the global BLOCK_SUB
-    # (fused_segment_sum_raw clamps block_b to the local edge pad);
-    # the contraction width must divide the chunk.
-    block_sub = min(block_sub, block_b)
+    block_sub = _fit_block_sub(block_sub, block_b)
     n_sub = block_b // block_sub
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -701,10 +714,7 @@ def _fused_masked_segment_sum(logits, h_src, pattern, dst, row_ptr, *, block_r,
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
-    # Shard-local callers can have block_b < the global BLOCK_SUB
-    # (fused_segment_sum_raw clamps block_b to the local edge pad);
-    # the contraction width must divide the chunk.
-    block_sub = min(block_sub, block_b)
+    block_sub = _fit_block_sub(block_sub, block_b)
     n_sub = block_b // block_sub
     f = ckf // n_agg
 
@@ -757,10 +767,7 @@ def _fused_program_fwd(c, dh_src, pattern, dst, row_ptr, *, block_r, block_b,
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
-    # Shard-local callers can have block_b < the global BLOCK_SUB
-    # (fused_segment_sum_raw clamps block_b to the local edge pad);
-    # the contraction width must divide the chunk.
-    block_sub = min(block_sub, block_b)
+    block_sub = _fit_block_sub(block_sub, block_b)
     n_sub = block_b // block_sub
     ckf = c.shape[1]
     n_rows = int(num_blocks) * block_r
@@ -816,10 +823,7 @@ def _fused_program_bwd(c, ct, dh_src, pattern, dst, row_ptr, n_real, *,
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
-    # Shard-local callers can have block_b < the global BLOCK_SUB
-    # (fused_segment_sum_raw clamps block_b to the local edge pad);
-    # the contraction width must divide the chunk.
-    block_sub = min(block_sub, block_b)
+    block_sub = _fit_block_sub(block_sub, block_b)
     n_sub = block_b // block_sub
     ckf = c.shape[1]
     n_rows = int(num_blocks) * block_r
@@ -886,10 +890,7 @@ def _fused_program_bwd_csc(ctc, d, h, pattern, src_csc, col_ptr, *,
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(col_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
-    # Shard-local callers can have block_b < the global BLOCK_SUB
-    # (fused_segment_sum_raw clamps block_b to the local edge pad);
-    # the contraction width must divide the chunk.
-    block_sub = min(block_sub, block_b)
+    block_sub = _fit_block_sub(block_sub, block_b)
     n_sub = block_b // block_sub
     ckf = d.shape[1]
     f = h.shape[1]
@@ -948,10 +949,7 @@ def _fused_program_fwd_lean(c, hg, w, pattern, dst, row_ptr, *, block_r,
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
-    # Shard-local callers can have block_b < the global BLOCK_SUB
-    # (fused_segment_sum_raw clamps block_b to the local edge pad);
-    # the contraction width must divide the chunk.
-    block_sub = min(block_sub, block_b)
+    block_sub = _fit_block_sub(block_sub, block_b)
     n_sub = block_b // block_sub
     ckf = c.shape[1]
     n_rows = int(num_blocks) * block_r
@@ -1007,10 +1005,7 @@ def _fused_program_bwd_lean(c, ct, hg, w, wt, pattern, dst, row_ptr, n_real,
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
-    # Shard-local callers can have block_b < the global BLOCK_SUB
-    # (fused_segment_sum_raw clamps block_b to the local edge pad);
-    # the contraction width must divide the chunk.
-    block_sub = min(block_sub, block_b)
+    block_sub = _fit_block_sub(block_sub, block_b)
     n_sub = block_b // block_sub
     ckf = c.shape[1]
     n_rows = int(num_blocks) * block_r
@@ -1141,10 +1136,7 @@ def _fused_segment_sum_sq(data, dst, row_ptr, *, block_r, block_b,
     (n, num_blocks, num_chunks, total_steps, starts, ends, block_of, chunk_of
      ) = _grid_and_prefetch(row_ptr, e_pad, block_r, block_b)
     chunk_index = _chunk_index_fn(num_chunks, block_b)
-    # Shard-local callers can have block_b < the global BLOCK_SUB
-    # (fused_segment_sum_raw clamps block_b to the local edge pad);
-    # the contraction width must divide the chunk.
-    block_sub = min(block_sub, block_b)
+    block_sub = _fit_block_sub(block_sub, block_b)
     n_sub = block_b // block_sub
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

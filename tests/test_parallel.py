@@ -391,3 +391,29 @@ def test_node_sharded_all_combines(setup):
             got[p][mask[p]], want[ids[p][mask[p]]], rtol=2e-4, atol=2e-4,
             err_msg=f"shard {p}",
         )
+
+
+@pytest.mark.parametrize("e_pad", [640, 768, 896])
+def test_fused_raw_non_pow2_pads(e_pad):
+    """Regression (ADVICE r4): node-sharded shard-local edge pads round to
+    128-multiples below BLOCK_B (640/768/896 are legal), and
+    fused_segment_sum_raw clamps block_b to them. BLOCK_SUB=512 does not
+    divide those, so the contraction width must shrink to a divisor
+    instead of min-clamping (which broke dst.reshape at trace time)."""
+    from mma_tpu.ops.pallas.fused_mma import fused_segment_sum_raw
+
+    rng = np.random.default_rng(e_pad)
+    n, e = 50, e_pad - 37  # real edges below the pad
+    dst = np.sort(rng.integers(0, n, size=e))
+    dst_pad = np.concatenate([dst, np.full(e_pad - e, n - 1)]).astype(np.int32)
+    data = np.zeros((e_pad, 128), np.float32)
+    data[:e] = rng.standard_normal((e, 128))
+    row_ptr = np.searchsorted(dst_pad, np.arange(n + 1)).astype(np.int32)
+    row_ptr[-1] = e_pad
+    got = np.asarray(
+        fused_segment_sum_raw(jnp.asarray(data), jnp.asarray(dst_pad),
+                              jnp.asarray(row_ptr))
+    )
+    want = np.zeros((n, 128), np.float32)
+    np.add.at(want, dst, data[:e])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
