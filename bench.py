@@ -105,6 +105,175 @@ def _time_step_fn(f, *args, iters=10, warmup=2, n_state=2):
 HBM_GBPS = float(os.environ.get("MMA_HBM_GBPS", "819"))
 
 
+# ---------------------------------------------------------------------------
+# Measured primitive rates → composite per-path bounds (VERDICT r4 #2).
+#
+# The r4 byte-traffic roofline indicted the kernels at 12-20% without
+# saying whether bytes were even the binding resource. The corrected
+# bound is COMPOSITE and built from rates measured ON THIS CHIP at the
+# workloads' own shapes:
+#   - stream_gbps: fused elementwise read+write bandwidth (the resource
+#     the old roofline assumed, re-measured rather than spec'd),
+#   - gather rows/s at each (table_rows, width, dtype) class the bench
+#     workloads actually issue (XLA row gathers are NOT bandwidth-bound:
+#     they issue rows at a rate set by table size and row width),
+#   - mxu_tflops: bf16 matmul peak (the one-hot contraction's resource).
+# Each bench entry then gets bound_s = Σ_pass max(resource terms) and
+# bound_frac = bound_s / measured_s — a speed-of-light the kernels can
+# actually be held to, with the binding resource named per pass.
+# ---------------------------------------------------------------------------
+
+_PRIMS = None
+
+
+def measure_primitives():
+    """Measure stream BW, gather issue rates, and MXU peak (cached)."""
+    global _PRIMS
+    if _PRIMS is not None:
+        return _PRIMS
+    import jax
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(0)
+    prims = {}
+
+    # Fused elementwise stream: read+write of a 256 MB f32 buffer.
+    x = jnp.asarray(rs.rand(64 * 1024 * 1024).astype(np.float32))
+    dt = _time_fwd_chained(lambda v: v * 1.0000001, x, iters=10)
+    prims["stream_gbps"] = 2 * x.size * 4 / dt / 1e9
+
+    # Random row gathers at the bench's table classes. Keyed by
+    # (table_rows, width_lanes, dtype); rate in rows/s at E≈1M indices.
+    e_idx = 1 << 20
+    idx = jnp.asarray(rs.randint(0, 8, size=e_idx).astype(np.int32))
+    gather = {}
+    for rows, width, dname in (
+        (131072, 128, "bfloat16"),   # synthetic-large lean hg build
+        (131072, 256, "float32"),    # f32 wide variant
+        (23552, 384, "bfloat16"),    # zinc exact hg / permute class
+        (761856, 128, "bfloat16"),   # ogbn sampled class
+    ):
+        dtype = jnp.bfloat16 if dname == "bfloat16" else jnp.float32
+        tab = jnp.asarray(
+            rs.rand(rows, width).astype(np.float32)
+        ).astype(dtype)
+        ix = (idx * 2654435761 % rows).astype(jnp.int32)
+        dt = _time_fwd_chained(
+            lambda t, i=ix: t[i].astype(jnp.float32), tab, iters=10
+        )
+        gather[f"{rows}x{width}x{dname}"] = {
+            "rows_per_s": e_idx / dt,
+            "ns_per_row": dt / e_idx * 1e9,
+            "gbps": e_idx * width * (2 if dname == "bfloat16" else 4)
+            / dt / 1e9,
+        }
+    prims["gather"] = gather
+
+    # MXU peak: 4096³ bf16 matmul.
+    a = jnp.asarray(rs.rand(4096, 4096).astype(np.float32)).astype(
+        jnp.bfloat16)
+    dt = _time_fwd_chained(
+        lambda m: (m @ m).astype(jnp.bfloat16), a, iters=10
+    )
+    prims["mxu_tflops"] = 2 * 4096**3 / dt / 1e12
+    _PRIMS = prims
+    return prims
+
+
+def _gather_rate(prims, rows, width, dname):
+    """rows/s for the closest measured gather class."""
+    best, bestd = None, None
+    for key, v in prims["gather"].items():
+        r, w, dn = key.split("x")
+        if dn != dname:
+            continue
+        d = abs(np.log(int(r) / rows)) + abs(np.log(int(w) / width))
+        if bestd is None or d < bestd:
+            best, bestd = v, d
+    return best["rows_per_s"] if best else 50e6
+
+
+def composite_bound(passes, prims):
+    """``bound_s`` for a list of pass dicts, each with any of:
+    ``gather=(n_rows, table_rows, width, dtype)``, ``stream_bytes``,
+    ``mxu_flops``. Per pass: gather issue is a separate XLA op from the
+    fused/kernel work (t_gather + max(stream, mxu)); passes sum."""
+    total = 0.0
+    parts = []
+    for p in passes:
+        t_g = 0.0
+        if "gather" in p:
+            n_rows, t_rows, width, dname = p["gather"]
+            t_g = n_rows / _gather_rate(prims, t_rows, width, dname)
+        t_s = p.get("stream_bytes", 0) / (prims["stream_gbps"] * 1e9)
+        t_m = p.get("mxu_flops", 0) / (prims["mxu_tflops"] * 1e12)
+        t = t_g + max(t_s, t_m)
+        binding = ("gather" if t_g >= max(t_s, t_m)
+                   else ("stream" if t_s >= t_m else "mxu"))
+        parts.append({"name": p.get("name", "?"), "t_s": t,
+                      "binding": binding})
+        total += t
+    return total, parts
+
+
+def mma_layer_fwd_bound(graph, n_feat, k, dtype_name, prims):
+    """Composite bound of one MMA-layer forward (lean path): per edge
+    pass, one row gather from the node table + the kernel's stream and
+    one-hot MXU contraction; two edge passes (masked aggregate + SpMM)
+    plus the node-level projections."""
+    d = _dtype_bytes(dtype_name)
+    dname = "bfloat16" if d == 2 else "float32"
+    e = int(np.asarray(graph.num_edges))
+    n = graph.n_node
+    c1 = -(-k * n_feat // 128) * 128  # aggregate pass lanes
+    c2 = -(-n_feat // 128) * 128     # spmm pass lanes
+    passes = [
+        {"name": "proj", "mxu_flops": 2 * n * n_feat * 2 * k * n_feat},
+        {"name": "aggregate",
+         "gather": (e, n, c1, dname),
+         "stream_bytes": e * (c1 * d + 4),
+         "mxu_flops": 2 * e * 128 * c1},
+        {"name": "spmm",
+         "gather": (e, n, c2, dname),
+         "stream_bytes": e * (c2 * d + 4),
+         "mxu_flops": 2 * e * 128 * c2},
+    ]
+    return composite_bound(passes, prims)
+
+
+def zinc_fwd_bound(batch, hidden, towers, edge_dim, num_layers,
+                   dtype_name, prims, exact=False):
+    """Composite bound of one ZincNet forward. Exact-ELL path: per conv,
+    one src gather (E rows, T·F lanes) + the slot-reduce stream; the
+    fused-kernel path adds the one-hot contraction."""
+    d = _dtype_bytes(dtype_name)
+    dname = "bfloat16" if d == 2 else "float32"
+    e = int(np.asarray(batch.graph.num_edges))
+    n = batch.graph.n_node
+    tf = towers * hidden
+    c = -(-tf // 128) * 128
+    per_layer = [
+        {"name": "proj",
+         "mxu_flops": 2 * n * hidden * 2 * tf + 2 * e * edge_dim * tf},
+        {"name": "hg-gather+reduce",
+         "gather": (e, n, c, dname),
+         "stream_bytes": e * (2 * c * d)},
+    ]
+    if not exact:
+        per_layer[1]["mxu_flops"] = 2 * e * 128 * c
+    total, parts = composite_bound(per_layer * num_layers, prims)
+    return total, parts
+
+
+def _annotate_bound(entry, bound_s, parts):
+    entry["bound_s"] = round(bound_s, 6)
+    entry["bound_frac"] = round(bound_s / entry["time_s"], 4)
+    entry["bound_binding"] = sorted(
+        {p["binding"] for p in parts},
+        key=lambda b: -sum(p["t_s"] for p in parts if p["binding"] == b),
+    )[0]
+
+
 def _dtype_bytes(name):
     return 2 if name in ("bfloat16", "auto") else 4
 
@@ -206,6 +375,12 @@ def bench_node_mma(graph, n_feat, aggregators, seed=0):
                 res[name], n_edges,
                 _mma_layer_fwd_bytes(graph, n_feat, len(aggregators), dtype),
             )
+            if jax.devices()[0].platform == "tpu":
+                bs, parts = mma_layer_fwd_bound(
+                    graph, n_feat, len(aggregators), dtype,
+                    measure_primitives(),
+                )
+                _annotate_bound(res[name], bs, parts)
         except Exception as e:  # pallas path may be unavailable off-TPU
             log(f"  path {name} failed: {type(e).__name__}: {str(e)[:200]}")
     return res
@@ -261,6 +436,12 @@ def bench_node_mma_train(graph, n_feat, aggregators, seed=0):
                 res[name], n_edges,
                 3 * _mma_layer_fwd_bytes(graph, n_feat, len(aggregators), dtype),
             )
+            if jax.devices()[0].platform == "tpu":
+                bs, parts = mma_layer_fwd_bound(
+                    graph, n_feat, len(aggregators), dtype,
+                    measure_primitives(),
+                )
+                _annotate_bound(res[name], 3 * bs, parts)
         except Exception as e:
             log(f"  train path {name} failed: {type(e).__name__}: {str(e)[:200]}")
     return res
@@ -295,6 +476,27 @@ def bench_zinc_conv(batch_size=1024, seed=0):
             n_edge=-(-e_need // 1024) * 1024,
         )
     )
+    # The zero-config production batch (what train_zinc's default
+    # batch_layout="auto" emits): the degree-EXACT ELL collate — nodes
+    # grouped by exact in-degree, slot index == edge index, aggregation
+    # = reshapes + lane reduces (round 5). The "auto" path below runs on
+    # it; the fixed paths keep the plain collate for r4 comparability.
+    from mma_tpu.data.batching import degree_budgets
+
+    budgets, zero_worst = degree_budgets(
+        [int(nn) for nn in ds.num_nodes], ds.edge_src, ds.edge_dst,
+        batch_size, margin=0.0, include_zero=True,
+    )
+    rows = sum(budgets) + zero_worst + 1
+    slots = sum(b * (i + 1) for i, b in enumerate(budgets))
+    batch_exact = next(
+        ds.batches(
+            batch_size,
+            n_node=max(-(-n_need // 1024) * 1024, -(-rows // 1024) * 1024),
+            n_edge=max(-(-e_need // 1024) * 1024, -(-slots // 1024) * 1024),
+            ell_degree_budgets=budgets,
+        )
+    )
 
     res = {}
     paths = (
@@ -306,7 +508,9 @@ def bench_zinc_conv(batch_size=1024, seed=0):
         # config above.
         ("auto", True, "auto"),
     )
-    opt = optax.adam(1e-3)
+    # One fused adam over the raveled params (~300 small leaves
+    # otherwise become ~300 op chains — measured 0.5 ms of the step).
+    opt = optax.flatten(optax.adam(1e-3))
     for name, use_pallas, dtype in paths:
         model = ZincNet(
             aggregators=("min", "max"),
@@ -318,7 +522,8 @@ def bench_zinc_conv(batch_size=1024, seed=0):
         )
         params = model.init(jax.random.PRNGKey(0))
         state = model.init_state()
-        n_edges = int(np.asarray(batch.graph.num_edges)) * model.num_layers
+        b_used = batch_exact if name == "auto" else batch
+        n_edges = int(np.asarray(b_used.graph.num_edges)) * model.num_layers
 
         @jax.jit
         def fwd_c(carry, p, s, b, up=use_pallas, model=model):
@@ -346,15 +551,27 @@ def bench_zinc_conv(batch_size=1024, seed=0):
 
         try:
             dt = _time_step_fn(
-                fwd_c, jnp.zeros((), jnp.float32), params, state, batch,
+                fwd_c, jnp.zeros((), jnp.float32), params, state, b_used,
                 iters=15, n_state=1,
             )
             res[name] = {"time_s": dt, "edges_per_s": n_edges / dt}
-            zb = _zinc_fwd_bytes(batch, 75, 5, 50, model.num_layers, dtype)
+            zb = _zinc_fwd_bytes(b_used, 75, 5, 50, model.num_layers, dtype)
             _annotate_roofline(res[name], n_edges, zb)
-            dt_t = _time_step_fn(step, params, opt_state, state, batch, iters=10)
+            dt_t = _time_step_fn(step, params, opt_state, state, b_used,
+                                 iters=10)
             res[name]["train"] = {"time_s": dt_t, "edges_per_s": n_edges / dt_t}
             _annotate_roofline(res[name]["train"], n_edges, 3 * zb)
+            if jax.devices()[0].platform == "tpu":
+                bs, parts = zinc_fwd_bound(
+                    b_used, 75, 5, 50, model.num_layers, dtype,
+                    measure_primitives(), exact=(name == "auto"),
+                )
+                _annotate_bound(res[name], bs, parts)
+                _annotate_bound(res[name]["train"], 3 * bs, parts)
+            if name == "auto":
+                res[name]["batch_layout"] = "degree_exact"
+                res[name]["n_node_pad"] = b_used.graph.n_node
+                res[name]["n_edge_pad"] = b_used.graph.n_edge
         except Exception as e:
             log(f"  zinc path {name} failed: {type(e).__name__}: {str(e)[:200]}")
     return res
@@ -463,10 +680,73 @@ def locality_powerlaw_graph(n, avg_deg, seed=0, long_range=0.05):
     return graph_from_edges(src, dst, n)
 
 
+def measure_compute_dma_overlap(copy_mb=110):
+    """Measured on-chip overlap factor between an interior-style reduce
+    and a large async data movement (VERDICT r4 #6).
+
+    The scaling model's halo-overlap assumption ("XLA schedules the
+    all_to_all concurrently with the interior segment-reduce") was
+    assumed, never measured. One chip has no ICI, so the stand-in for
+    the collective is a ``copy_mb``-sized HBM read+write (an async-DMA
+    candidate like a collective buffer move; pessimistic — a real
+    all_to_all rides ICI links and contends LESS with HBM than this
+    copy does). Returns (overlap_factor ∈ [0,1], detail dict):
+    1.0 = fully concurrent, 0.0 = serialized.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mma_tpu.ops.pallas.fused_mma import fused_segment_sum_raw
+
+    rs = np.random.RandomState(0)
+    n_rows, e = 65536, 1 << 20
+    dst = np.sort(rs.randint(0, n_rows, size=e)).astype(np.int32)
+    row_ptr = np.searchsorted(dst, np.arange(n_rows + 1)).astype(np.int32)
+    data = jnp.asarray(rs.rand(e, 128).astype(np.float32)).astype(
+        jnp.bfloat16)
+    dstj, rpj = jnp.asarray(dst), jnp.asarray(row_ptr)
+    buf = jnp.asarray(
+        rs.rand(copy_mb * 1024 * 1024 // 4).astype(np.float32)
+    )
+
+    def reduce_only(d):
+        return fused_segment_sum_raw(d, dstj, rpj)
+
+    def copy_only(b):
+        return b * 1.0000001
+
+    def combined(d, b):
+        return fused_segment_sum_raw(d, dstj, rpj), b * 1.0000001
+
+    t_a = _time_fwd_chained(reduce_only, data, iters=10)
+
+    @jax.jit
+    def copy_step(carry, b):
+        out = copy_only(b + carry * 0)
+        return (carry + jnp.sum(out[:8]) * 1e-30,)
+
+    t_b = _time_step_fn(copy_step, jnp.zeros(()), buf, iters=10, n_state=1)
+
+    @jax.jit
+    def comb_step(carry, d, b):
+        o1, o2 = combined(d + carry.astype(d.dtype) * 0, b + carry * 0)
+        return (carry + (jnp.sum(o1[:8]).astype(jnp.float32)
+                         + jnp.sum(o2[:8])) * 1e-30,)
+
+    t_ab = _time_step_fn(comb_step, jnp.zeros(()), data, buf,
+                         iters=10, n_state=1)
+    overlap = (t_a + t_b - t_ab) / min(t_a, t_b)
+    overlap = float(np.clip(overlap, 0.0, 1.0))
+    return overlap, {
+        "t_reduce_s": t_a, "t_copy_s": t_b, "t_combined_s": t_ab,
+        "copy_mb": copy_mb,
+    }
+
+
 def node_sharded_scaling_model(
     n=131072, avg_deg=16, n_feat=64, n_class=16, n_agg=2,
     measured_edges_per_s=None, ici_gbps=45.0, shard_counts=(2, 4, 8),
-    graph=None, partition_method="contiguous",
+    graph=None, partition_method="contiguous", overlap_factor=None,
 ):
     """Analytic scaling model for the node-sharded regime — the
     falsifiable backing for the BASELINE "≥80% efficiency at N≥2" claim
@@ -504,12 +784,21 @@ def node_sharded_scaling_model(
     width_rows = (n_feat + (n_agg + 1) * n_feat + n_class) * 4  # bytes fwd
     width_rows *= 2  # backward transposes reverse every exchange
 
+    # Overlap factor: 1.0 = halo exchange fully concurrent with the
+    # interior reduce (the old assumption); measured on-chip via
+    # measure_compute_dma_overlap when available (VERDICT r4 #6).
+    ov = 1.0 if overlap_factor is None else float(overlap_factor)
+
     out = {
         "workload": {"n_nodes": n, "n_edges": n_edges, "n_feat": n_feat,
                      "n_agg": n_agg, "n_class": n_class},
         "partition_method": partition_method,
         "measured_single_chip_edges_per_s": eps,
         "ici_gbps_assumed": ici_gbps,
+        "overlap_factor": ov,
+        "overlap_factor_source": (
+            "assumed" if overlap_factor is None else "measured-on-chip"
+        ),
         "per_n": {},
     }
     for s in shard_counts:
@@ -522,7 +811,9 @@ def node_sharded_scaling_model(
         t_int = float(e_int.max()) / eps
         t_bnd = float(e_bnd.max()) / eps
         t_halo = float(bytes_per_shard.max()) / (ici_gbps * 1e9)
-        t_step = max(t_int, t_halo) + t_bnd
+        # ov of the shorter leg hides under the longer; the rest serializes.
+        t_step = (max(t_int, t_halo)
+                  + (1.0 - ov) * min(t_int, t_halo) + t_bnd)
         out["per_n"][s] = {
             "interior_edges_max": int(e_int.max()),
             "interior_edges_mean": float(e_int.mean()),
@@ -554,9 +845,6 @@ def bench_ogbn_sampled(
     CSR/CSC kernel structure so the fused Pallas kernels run per device
     (``use_pallas``); a producer thread overlaps host sampling + feature
     assembly with the device step (double buffering)."""
-    import queue as _queue
-    import threading
-
     import jax
     import jax.numpy as jnp
 
@@ -693,6 +981,7 @@ def bench_ogbn_sampled(
                     jnp.asarray(ar.src), jnp.asarray(ar.dst),
                     jnp.asarray(ar.node_ids),
                     jnp.int32(ar.num_edges), deg_tab,
+                    jnp.asarray(ar.src_perm),
                     chunk_hint=canon_hint, ell_hint=ar.ell_hint,
                 )
                 for ar in arrs
@@ -747,27 +1036,31 @@ def bench_ogbn_sampled(
         n_e = sum(int(np.asarray(bt.graph.num_edges)) for bt in batches)
         return (x, graph, y, sm, n_e, time.perf_counter() - t0)
 
-    # Producer thread: host sampling/assembly for batch i+1 overlaps the
-    # device step for batch i (double buffering).
-    q = _queue.Queue(maxsize=2)
+    # Producer pool: host sampling/assembly for batches i+1, i+2 overlaps
+    # the device step for batch i (prefetch depth 3, two sampler threads
+    # — make_inputs is thread-safe via the precomputed seed table; the
+    # native sampler's RNG is counter-based per seed).
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
-    def producer():
-        for bi in range(n_batches + 1):
-            q.put(make_inputs(bi))
-        q.put(None)
+    pool = ThreadPoolExecutor(max_workers=2)
+    window = deque()
+    next_bi = 0
 
-    th = threading.Thread(target=producer, daemon=True)
-    th.start()
+    def refill():
+        nonlocal next_bi
+        while len(window) < 3 and next_bi < n_batches + 1:
+            window.append(pool.submit(make_inputs, next_bi))
+            next_bi += 1
 
-    t_sample = t_step = 0.0
+    refill()
     t_wall0 = None
-    edges_dev = 0
+    host_times, dev_times, edge_counts = [], [], []
     loss = None
     bi = 0
-    while True:
-        item = q.get()
-        if item is None:
-            break
+    while window:
+        item = window.popleft().result()
+        refill()
         x, graph, y, sm, n_e, dt_s = item
         t0 = time.perf_counter()
         params, opt_state, loss = step(params, opt_state, x, graph, y, sm, rngs)
@@ -776,12 +1069,24 @@ def bench_ogbn_sampled(
         if bi == 0:
             t_wall0 = time.perf_counter()  # after warmup/compile
         else:
-            t_sample += dt_s
-            t_step += dt_d
-            edges_dev += n_e
+            host_times.append(dt_s)
+            dev_times.append(dt_d)
+            edge_counts.append(n_e)
         bi += 1
-    th.join()
+    pool.shutdown(wait=True)
     t_wall = time.perf_counter() - t_wall0
+
+    # Robust per-batch statistics (VERDICT r4 #3: single best runs are
+    # load-sensitive — publish the median with the spread). The pipeline
+    # rate stays a whole-run wall-clock number (that IS the pipeline);
+    # a median-per-batch pipeline estimate accompanies it.
+    t_sample = float(np.sum(host_times))
+    t_step = float(np.sum(dev_times))
+    edges_dev = int(np.sum(edge_counts))
+    med_e = float(np.median(edge_counts))
+    structure_bytes = 2 * 4 * n_edge_pad + 4 * n_node_pad  # src+dst+ids
+    if device_finish:
+        structure_bytes += 4 * n_edge_pad  # host-emitted CSC permutation
 
     return {
         "n_nodes": n,
@@ -795,12 +1100,20 @@ def bench_ogbn_sampled(
         "device_finish": device_finish,
         "n_node_pad": n_node_pad,
         "n_edge_pad": n_edge_pad,
+        "structure_mb_per_batch": round(structure_bytes * n_dev / 2**20, 2),
         "final_loss": float(loss),
         "sampled_edges_per_s_device": edges_dev / t_step,
+        "sampled_edges_per_s_device_median": med_e / float(np.median(dev_times)),
         "sampled_edges_per_s_pipeline": edges_dev / t_wall,
         "host_sampling_s_per_batch": t_sample / n_batches,
+        "host_s_median": float(np.median(host_times)),
+        "host_s_spread": [float(np.min(host_times)), float(np.max(host_times))],
         "device_step_s_per_batch": t_step / n_batches,
+        "device_s_median": float(np.median(dev_times)),
+        "device_s_spread": [float(np.min(dev_times)), float(np.max(dev_times))],
         "overlap_efficiency": (t_sample + t_step) / t_wall,
+        "pipeline_over_device": (edges_dev / t_wall)
+        / (edges_dev / t_step) if t_step else None,
     }
 
 
@@ -830,6 +1143,10 @@ def main():
     details["synthetic-large-train"] = bench_node_mma_train(big, 64, ("mean", "mean2"))
     log("synthetic-large-train:", json.dumps(details["synthetic-large-train"]))
 
+    if platform == "tpu":
+        details["primitives"] = measure_primitives()
+        log("primitives:", json.dumps(details["primitives"]))
+
     if os.environ.get("MMA_BENCH_SKIP_SCALING") != "1":
         details["scaling"] = bench_scaling()
         log("scaling:", json.dumps(details["scaling"]))
@@ -837,13 +1154,23 @@ def main():
         best_train = max(
             (v["edges_per_s"] for v in tr.values()), default=None
         )
+        overlap = None
+        if platform == "tpu":
+            try:
+                overlap, ov_detail = measure_compute_dma_overlap()
+                details["scaling"]["overlap_measurement"] = {
+                    "factor": overlap, **ov_detail
+                }
+                log(f"measured compute/DMA overlap factor: {overlap:.3f}")
+            except Exception as e:
+                log(f"  overlap measurement failed: {e}")
         # Three partition scenarios: the locality-free zipf graph
         # (worst case — any partition ≈ random conductance) and a
         # locality power-law graph under contiguous vs LDG cuts (the
         # partitioner's actual job: recover scrambled community
         # structure — VERDICT r3 #4).
         details["scaling"]["model"] = node_sharded_scaling_model(
-            measured_edges_per_s=best_train
+            measured_edges_per_s=best_train, overlap_factor=overlap,
         )
         log("scaling model (zipf/contiguous):",
             json.dumps(details["scaling"]["model"]))
@@ -851,18 +1178,33 @@ def main():
         details["scaling"]["model_locality"] = {
             m: node_sharded_scaling_model(
                 measured_edges_per_s=best_train, graph=loc_graph,
-                partition_method=m,
+                partition_method=m, overlap_factor=overlap,
             )
             for m in ("contiguous", "ldg")
         }
         log("scaling model (locality):",
             json.dumps(details["scaling"]["model_locality"]))
     if os.environ.get("MMA_BENCH_SKIP_OGBN") != "1":
+        # Minimal-transfer pipeline (device_finish + host-emitted CSC
+        # permutation) is the default; the host-built variant is measured
+        # alongside for the r4→r5 comparison gate (device_finish step ≤
+        # host-built step).
         try:
-            details["ogbn-sampled"] = bench_ogbn_sampled(n_batches=10)
+            details["ogbn-sampled"] = bench_ogbn_sampled(
+                n_batches=10, device_finish=True
+            )
             log("ogbn-sampled:", json.dumps(details["ogbn-sampled"]))
         except Exception as e:
             log(f"  ogbn-sampled failed: {type(e).__name__}: {str(e)[:300]}")
+        try:
+            details["ogbn-sampled-hostbuilt"] = bench_ogbn_sampled(
+                n_batches=10, device_finish=False
+            )
+            log("ogbn-sampled-hostbuilt:",
+                json.dumps(details["ogbn-sampled-hostbuilt"]))
+        except Exception as e:
+            log(f"  ogbn-sampled-hostbuilt failed: "
+                f"{type(e).__name__}: {str(e)[:300]}")
 
     head = details["synthetic-large"]
     best_name = max(head, key=lambda k: head[k]["edges_per_s"])

@@ -55,6 +55,11 @@ class SampledArrays:
     num_seeds: int
     num_nodes: int
     ell_hint: "tuple | None" = None
+    # CSC permutation over the padded edge list (stable src-major,
+    # dst-minor — the native counting sort), so the device never sorts
+    # (VERDICT r4 #4: the device lexsort cost more than the transfer it
+    # saved). +4 bytes/edge of link traffic; None when emit_csc=False.
+    src_perm: "np.ndarray | None" = None
 
 
 class NeighborSampler:
@@ -270,11 +275,15 @@ class NeighborSampler:
         n_node_pad: int,
         n_edge_pad: int,
         hop_node_pads: Optional[Sequence[int]] = None,
+        emit_csc: bool = True,
     ) -> SampledArrays:
         """Sample one subgraph, returning only the minimal host arrays
         (see :class:`SampledArrays`); pair with
         ``graph.device_build.finish_graph_on_device`` + a device-resident
-        ``true_deg`` table. Layout semantics match :meth:`sample`."""
+        ``true_deg`` table. Layout semantics match :meth:`sample`.
+        ``emit_csc``: also emit the CSC permutation (one more host
+        counting sort, O(E+N)) so the device derives the CSC view with
+        two gathers instead of a sort."""
         from mma_tpu.graph import native as gnative
 
         seeds = np.asarray(seeds, np.int64)
@@ -332,6 +341,11 @@ class NeighborSampler:
         dst_p = np.concatenate(
             [dst_s, np.full(pad_e, pad_node, np.int32)]
         )
+        src_perm = None
+        if emit_csc:
+            # Stable counting sort by src over the PADDED list (padding
+            # edges point at the last node and sort to the tail).
+            _, _, src_perm = gnative.sort_edges(dst_p, src_p, n_node_pad)
         return SampledArrays(
             src=src_p,
             dst=dst_p,
@@ -340,6 +354,7 @@ class NeighborSampler:
             num_seeds=len(seeds),
             num_nodes=len(node_ids),
             ell_hint=ell_hint,
+            src_perm=src_perm,
         )
 
     def _structural_node_bound(self, n_seeds: int) -> int:

@@ -73,8 +73,11 @@ class ZincDataset:
         shuffle: bool = False,
         seed: int = 0,
         drop_remainder: bool = False,
+        ell_degree_budgets=None,
     ) -> Iterator[BatchedGraphs]:
-        """Yield padded :class:`BatchedGraphs` of a fixed static shape."""
+        """Yield padded :class:`BatchedGraphs` of a fixed static shape.
+        ``ell_degree_budgets`` opts into the degree-exact ELL collate
+        (see :func:`mma_tpu.data.batching.batch_graphs`)."""
         order = np.arange(len(self))
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
@@ -92,6 +95,7 @@ class ZincDataset:
                 node_feats=[self.node_types[i] for i in idx],
                 edge_feats=[self.edge_types[i] for i in idx],
                 targets=[np.array([self.y[i]], np.float32).reshape(1) for i in idx],
+                ell_degree_budgets=ell_degree_budgets,
             )
 
 

@@ -84,6 +84,22 @@ class Graph:
     # ``mma_tpu.ops.ell``). Producers with structural degree bounds set
     # it (per-hop sampled subgraphs); None = no known bucket layout.
     ell_hint: "tuple | None" = None
+    # Degree-EXACT ELL layout marker (static): every row in bucket b has
+    # EXACTLY ``width_b`` edges (bucket-padding rows carry synthetic
+    # padding edges), nodes are grouped by degree, and the flat slot
+    # index therefore EQUALS the dst-sorted edge index — slot expand and
+    # collapse are reshapes, not gathers (``mma_tpu.ops.ell`` exact
+    # paths). Only ``batch_graphs(ell_degree_budgets=...)`` sets this.
+    # NOTE: such graphs break the "padding edges all point at the last
+    # node" invariant (bucket-pad edges point at their own bucket-pad
+    # rows); all padding edges still point at masked padding rows.
+    ell_exact: bool = False
+    # Static: the CSC view is degree-exact under the SAME buckets —
+    # true for symmetric degree-exact batches (in-degree == out-degree
+    # per node; the synthetic self-loops preserve it), where src-keyed
+    # segment sums reduce to permute + per-bucket lane-slice sums
+    # (``ops.gather.gather_by_src`` fast path), no kernel launch.
+    csc_ell_exact: bool = False
 
     @property
     def n_node(self) -> int:
@@ -103,7 +119,10 @@ class Graph:
         return jnp.sum(self.edge_mask.astype(jnp.int32))
 
 
-_dataclass_pytree(Graph, static_fields=("chunk_hint", "ell_hint"))
+_dataclass_pytree(
+    Graph,
+    static_fields=("chunk_hint", "ell_hint", "ell_exact", "csc_ell_exact"),
+)
 
 
 @dataclasses.dataclass
@@ -123,6 +142,11 @@ class BatchedGraphs:
     node_feat: Optional[jnp.ndarray] = None  # (N, ...) node features/ids
     edge_feat: Optional[jnp.ndarray] = None  # (E, ...) edge features/ids
     target: Optional[jnp.ndarray] = None  # (G, ...) per-graph targets
+    # Static: True when nodes of each member graph are contiguous (so
+    # ``node_to_graph`` is sorted ascending and pooled readouts may pass
+    # ``indices_are_sorted``). Degree-ordered batches
+    # (``ell_degree_budgets``) interleave graphs' nodes and set False.
+    nodes_grouped: bool = True
 
     @property
     def n_graph(self) -> int:
@@ -133,4 +157,4 @@ class BatchedGraphs:
         return jnp.sum(self.graph_mask.astype(jnp.int32))
 
 
-_dataclass_pytree(BatchedGraphs)
+_dataclass_pytree(BatchedGraphs, static_fields=("nodes_grouped",))

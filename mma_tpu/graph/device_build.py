@@ -41,6 +41,7 @@ def finish_graph_on_device(
     node_ids: jnp.ndarray,
     n_real_edges: jnp.ndarray,
     deg_table: jnp.ndarray,
+    src_perm: Optional[jnp.ndarray] = None,
     *,
     chunk_hint: Optional[tuple] = None,
     ell_hint: Optional[tuple] = None,
@@ -51,7 +52,11 @@ def finish_graph_on_device(
     ``node_ids``: (N_pad,) int32 global id per local row (−1 for
     padding/holes — also defines ``node_mask``); ``n_real_edges``:
     scalar int32; ``deg_table``: (N_global,) f32 device-resident
-    true in-degrees.
+    true in-degrees; ``src_perm``: optional host-emitted CSC
+    permutation (``sample_arrays(emit_csc=True)`` — the native counting
+    sort). When given, the CSC view is two int32 gathers; when absent
+    it falls back to a device sort (measured ~0.7 s/batch at ogbn pads
+    — the reason the host emits it, VERDICT r4 #4).
     """
     e_pad = src.shape[0]
     n_node = node_ids.shape[0]
@@ -65,9 +70,11 @@ def finish_graph_on_device(
     rows = jnp.arange(n_node + 1, dtype=jnp.int32)
     row_ptr = jnp.searchsorted(dst, rows, side="left").astype(jnp.int32)
 
-    # CSC view: stable (src-major, dst-minor) order over the padded list
-    # (jnp.lexsort: last key is primary).
-    src_perm = jnp.lexsort((dst, src)).astype(jnp.int32)
+    # CSC view: stable (src-major, dst-minor) order over the padded
+    # list. The list is already dst-sorted, so a single-key STABLE
+    # argsort by src gives the order (no two-key lexsort needed).
+    if src_perm is None:
+        src_perm = jnp.argsort(src, stable=True).astype(jnp.int32)
     src_csc = src[src_perm]
     dst_csc = dst[src_perm]
     col_ptr = jnp.searchsorted(src_csc, rows, side="left").astype(jnp.int32)

@@ -150,6 +150,10 @@ class ZincNet:
             x = jax.nn.relu(h)
 
         x = jnp.where(g.node_mask[:, None], x, 0.0)
-        pooled = segment_sum(x, batch.node_to_graph, batch.n_graph, sorted=True)
+        # Degree-ordered batches interleave graphs' nodes: node_to_graph
+        # is only ascending when nodes are grouped per graph.
+        pooled = segment_sum(
+            x, batch.node_to_graph, batch.n_graph, sorted=batch.nodes_grouped
+        )
         pred = self.mlp.apply(params["mlp"], pooled)
         return pred.squeeze(-1), new_state

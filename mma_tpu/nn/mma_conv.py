@@ -284,7 +284,12 @@ class MultiMaskConv:
         ``None`` to take the CSR paths. Sharded graphs (no chunk_hint)
         and deep pre-NNs are CSR-only."""
         if (axis_name is not None or self.pre_layers != 1
-                or graph.chunk_hint is None or self.edge_format == "csr"):
+                or self.edge_format == "csr"):
+            return None
+        # Degree-exact graphs null chunk_hint (they break the CSR
+        # kernels' padding-edge invariant) but ARE complete unsharded
+        # layouts; anything else without chunk_hint is a sharded slice.
+        if graph.chunk_hint is None and not graph.ell_exact:
             return None
         from mma_tpu.ops.ell import EllSpec, single_width_spec
 
@@ -305,32 +310,46 @@ class MultiMaskConv:
         the reference's message + ``torch_scatter`` pair
         (``graph_regression/mma_conv.py:138-176``) for bounded-degree
         graphs."""
-        from mma_tpu.ops.ell import ell_expand, ell_valid
+        from mma_tpu.ops.ell import ell_expand, ell_expand_exact, ell_valid
 
-        valids = ell_valid(graph, spec)
+        # Degree-exact layouts: every slot is structurally valid (bucket
+        # padding rows carry synthetic edges), expand is a reshape, and
+        # only the node-level output mask is needed at the end.
+        exact = graph.ell_exact
+        valids = None if exact else ell_valid(graph, spec)
         has_drop = rng is not None and self.dropout_rate > 0.0
 
         def build(pre_k, r):
             """Per-bucket 2-D slot messages (R_b, W_b·C) in f32."""
+            from mma_tpu.ops.pallas.segment_minmax import _dropout_keep
+
             p_dst, hg = self._message_parts(pre_k, x_flat, e_feat, graph)
-            parts = ell_expand(hg, graph, spec)
-            keys = (jax.random.split(r, len(parts))
+            parts = (ell_expand_exact(hg, spec) if exact
+                     else ell_expand(hg, graph, spec))
+            # N2 dropout by position-keyed hash (same family as the
+            # fused kernel's in-kernel mask) — a threefry bernoulli over
+            # every slot lane measured 3.1 ms of the 25.5 ms flagship
+            # step; the hash is a handful of fused int ops. The pattern
+            # is this path's own rng partition, as every path's is.
+            seed = (jax.random.randint(r, (), 0, 2**31 - 1, dtype=jnp.int32)
                     if (has_drop and r is not None) else None)
+            # Slot arrays stay in the edge-pipeline compute dtype (bf16
+            # on TPU "auto" — same precision class as the fused-kernel
+            # path); sums accumulate in f32 inside masked_slot_sum.
+            sdt = hg.dtype
             xs = []
             for bi, (s, b) in enumerate(zip(spec.starts, spec.bounds)):
                 w = spec.widths[bi]
-                cb = jnp.tile(p_dst[s:b].astype(jnp.float32), (1, w))
-                xb = parts[bi].astype(jnp.float32) + cb
-                if keys is not None:
-                    # N2: dropout multiplies the combined message (the
-                    # mask pattern is this path's own rng partition, as
-                    # every path's is).
-                    keep = jax.random.bernoulli(
-                        keys[bi], 1.0 - self.dropout_rate, xb.shape
-                    )
-                    xb = jnp.where(
-                        keep, xb / (1.0 - self.dropout_rate), 0.0
-                    )
+                cb = jnp.tile(p_dst[s:b].astype(sdt), (1, w))
+                xb = parts[bi].astype(sdt) + cb
+                if seed is not None:
+                    rows_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, xb.shape, 0) + jnp.int32(s)
+                    lane_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, xb.shape, 1)
+                    xb = xb * _dropout_keep(
+                        seed, rows_iota, lane_iota, self.dropout_rate
+                    ).astype(sdt)
                 xs.append(xb)
             return xs
 
@@ -350,7 +369,8 @@ class MultiMaskConv:
                 )
             raw = {k: [] for k in need}
             minmax = tuple(a for a in ("min", "max") if a in need)
-            for bi, (xb, vb) in enumerate(zip(xs, valids)):
+            for bi, xb in enumerate(xs):
+                vb = None if valids is None else valids[bi]
                 w = spec.widths[bi]
                 if minmax:
                     for a, rr in zip(
@@ -367,7 +387,7 @@ class MultiMaskConv:
                 for k, v in raw.items()
             }
             outs = []
-            if minmax:
+            if minmax and not exact:
                 # Empty-row select keys on ACTUAL slot validity, not
                 # graph.deg: in the hopped sampled layout deg holds
                 # full-graph true degrees, and duplicate seeds produce
@@ -382,7 +402,15 @@ class MultiMaskConv:
                 ) > 0
             for a in wanted:
                 if a in ("min", "max"):
-                    outs.append(jnp.where(row_has_slot, cat[a], 0.0))
+                    r_mm = cat[a].astype(jnp.float32)
+                    if exact:
+                        # Every bucket row has ≥1 valid slot; rows past
+                        # the buckets (degree-0 / padding) were zero-
+                        # padded by pad_rows. Bucket-padding rows carry
+                        # synthetic-edge garbage — masked below.
+                        outs.append(r_mm)
+                    else:
+                        outs.append(jnp.where(row_has_slot, r_mm, 0.0))
                 elif a == "sum":
                     outs.append(cat["s1"])
                 elif a == "mean":
@@ -394,6 +422,14 @@ class MultiMaskConv:
                         var if a == "var"
                         else jnp.sqrt(jax.nn.relu(var) + 1e-5)
                     )
+            if exact:
+                # Zero the synthetic bucket-padding rows (their slots
+                # hold self-loop padding-edge values) — one node-level
+                # select per aggregate; real rows are untouched.
+                outs = [
+                    jnp.where(graph.node_mask[:, None], o, 0.0)
+                    for o in outs
+                ]
             return outs
 
         if self.parity:
@@ -672,6 +708,33 @@ class MultiMaskConv:
         """Scalers + tower reassembly + post-NNs + final lin."""
         t, f = self.towers, self.f_in
         scaled = [self._scale(r, deg) for r in reds]  # [k][s] → transpose below
+
+        if self.post_layers == 1:
+            # Fused single-layer post-NN: the per-tower
+            # ``concat(pieces) @ W_t`` decomposes as a sum over pieces of
+            # block-diagonal matmuls ``piece_p (N, T·F) @ BD_p (T·F, T·f_out)``
+            # — no (N, (K·S+1)·F) concat per tower is ever materialized
+            # and the (K·S+1)·T small slice/concat/matmul ops collapse
+            # to K·S+1 big MXU dots (identical math, summation order
+            # within a row regrouped). Measured: the old form cost ~9 ms
+            # of the 20 ms ZINC flagship step, fwd+bwd (docs/ZINC_R5.md).
+            pieces = [x_flat]
+            for si in range(len(self.scalers)):
+                for ki in range(len(self.aggregators)):
+                    pieces.append(scaled[ki][si])
+            out = jnp.concatenate(
+                [params["post_nns"][ti][0]["b"] for ti in range(t)]
+            )
+            from jax.scipy.linalg import block_diag
+
+            for pi, piece in enumerate(pieces):
+                bd = block_diag(*[
+                    params["post_nns"][ti][0]["w"][pi * f : (pi + 1) * f]
+                    for ti in range(t)
+                ])  # (T·F, T·f_out)
+                out = out + piece.astype(jnp.float32) @ bd
+            lin = Dense(self.out_channels, self.out_channels)
+            return lin.apply(params["lin"], out)
 
         # Reassemble the reference's per-tower feature order
         # [x_t ‖ (for s in scalers: for k in aggs: red_skt)] — node-level

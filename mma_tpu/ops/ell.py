@@ -317,23 +317,42 @@ def ell_gather_nodes_by_src(x: jnp.ndarray, graph: Graph, spec: EllSpec):
     return _op(x)
 
 
+def ell_expand_exact(edge_data: jnp.ndarray, spec: EllSpec):
+    """Degree-EXACT slot expand: per-bucket ``(R_b, W_b·C)`` views of the
+    compact edge stream by pure reshape — valid only for
+    ``Graph.ell_exact`` layouts, where the flat slot index equals the
+    dst-sorted edge index (every bucket row has exactly ``W_b`` edges).
+    No gather forward, no gather backward (the VJP of contiguous slices
+    is reassembly); contrast :func:`ell_expand`'s bijective gathers.
+    """
+    c = edge_data.shape[1]
+    out, off = [], 0
+    for r, w in zip(spec.rows, spec.widths):
+        out.append(edge_data[off : off + r * w].reshape(r, w * c))
+        off += r * w
+    return tuple(out)
+
+
 def slot_slices(x2: jnp.ndarray, w: int):
     """The W per-slot (rows, C) lane slices of a (rows, W·C) block."""
     c = x2.shape[1] // w
     return [x2[:, d * c : (d + 1) * c] for d in range(w)]
 
 
-def masked_slot_sum(x2: jnp.ndarray, valid: jnp.ndarray, w: int) -> jnp.ndarray:
+def masked_slot_sum(x2: jnp.ndarray, valid, w: int) -> jnp.ndarray:
     """Masked sum over the slot axis: (R, W·C) → (R, C). Natural VJP
-    (broadcast × mask) is exact; no custom rule needed."""
+    (broadcast × mask) is exact; no custom rule needed. ``valid=None``
+    means every slot is valid (degree-exact layouts) and skips the
+    mask selects entirely."""
     acc = None
     for d, xd in enumerate(slot_slices(x2, w)):
-        term = jnp.where(valid[:, d : d + 1], xd, 0.0)
+        xd = xd.astype(jnp.float32)  # bf16 slot streams accumulate in f32
+        term = xd if valid is None else jnp.where(valid[:, d : d + 1], xd, 0.0)
         acc = term if acc is None else acc + term
     return acc
 
 
-def masked_minmax_firsthit(x2: jnp.ndarray, valid: jnp.ndarray,
+def masked_minmax_firsthit(x2: jnp.ndarray, valid,
                            ops: Tuple[str, ...], w: int):
     """Per-op masked reduce over the slot axis of ``x2`` (R, W·C) with
     the reference's subgradient: each (row, channel, op) cotangent routes
@@ -346,6 +365,9 @@ def masked_minmax_firsthit(x2: jnp.ndarray, valid: jnp.ndarray,
     The backward is a W-step unrolled scan of fused (R, C) elementwise
     ops — measured 1.3 ms vs the Pallas min/max backward kernel's 1.9 ms
     on the ZINC bench shapes, with x2 as the only residual.
+
+    ``valid=None`` means every slot is valid (degree-exact layouts):
+    the per-slot mask selects drop out of both passes.
     """
     assert all(o in ("min", "max") for o in ops) and len(ops) >= 1
     c = x2.shape[1] // w
@@ -357,8 +379,10 @@ def masked_minmax_firsthit(x2: jnp.ndarray, valid: jnp.ndarray,
             acc = jnp.full((x_.shape[0], c), _NEUTRAL[op], x_.dtype)
             for d in range(w):
                 xd = x_[:, d * c : (d + 1) * c]
-                vd = valid[:, d : d + 1]
-                acc = jnp.where(vd, red(acc, xd), acc)
+                if valid is None:
+                    acc = red(acc, xd)
+                else:
+                    acc = jnp.where(valid[:, d : d + 1], red(acc, xd), acc)
             outs.append(acc)
         return tuple(outs)
 
@@ -376,10 +400,11 @@ def masked_minmax_firsthit(x2: jnp.ndarray, valid: jnp.ndarray,
         dx_parts = []
         for d in range(w):
             xd = x_[:, d * c : (d + 1) * c]
-            vd = valid[:, d : d + 1]
             dxd = jnp.zeros((x_.shape[0], c), x_.dtype)
             for pi, (out, ct) in enumerate(zip(outs, cts)):
-                hit = (xd == out) & vd
+                hit = xd == out
+                if valid is not None:
+                    hit = hit & valid[:, d : d + 1]
                 dxd = dxd + jnp.where(hit & ~taken[pi], ct, 0.0)
                 taken[pi] = taken[pi] | hit
             dx_parts.append(dxd)

@@ -56,8 +56,15 @@ def gather_by_dst(x: jnp.ndarray, graph: Graph, *, precision: str = "highest"):
 
 
 def gather_by_src(x: jnp.ndarray, graph: Graph, *, precision: str = "highest"):
-    """``x[graph.src]`` (N, C) → (E, C); VJP = CSC Pallas segment-sum."""
-    if graph.chunk_hint is None or graph.col_ptr is None:
+    """``x[graph.src]`` (N, C) → (E, C); VJP = CSC Pallas segment-sum.
+
+    Keys on the CSC fields alone (not ``chunk_hint``): degree-exact ELL
+    graphs null ``chunk_hint`` (they break the CSR kernels' padding-edge
+    invariant) but carry a valid CSC view, and the CSC segment-sum makes
+    no assumption about where padding edges point — their cotangents
+    land on their own masked padding rows. Sharded graphs null the CSC
+    fields too, so they still take the plain-gather fallback."""
+    if graph.col_ptr is None or graph.src_perm is None:
         return x[graph.src]
     from mma_tpu.ops.pallas.fused_mma import fused_segment_sum_by_src
 
@@ -69,8 +76,37 @@ def gather_by_src(x: jnp.ndarray, graph: Graph, *, precision: str = "highest"):
         return x_[graph.src], graph
 
     def _bwd(g, ct):
-        dx = fused_segment_sum_by_src(ct, g, precision=precision)
+        if g.csc_ell_exact:
+            dx = _csc_exact_segment_sum(ct, g)
+        else:
+            dx = fused_segment_sum_by_src(ct, g, precision=precision)
         return (dx.astype(x.dtype),)
 
     _op.defvjp(_fwd, _bwd)
     return _op(x)
+
+
+def _csc_exact_segment_sum(ct: jnp.ndarray, g: Graph) -> jnp.ndarray:
+    """Src-keyed segment sum on a symmetric degree-exact graph
+    (``Graph.csc_ell_exact``): after the CSC permute the edge stream is
+    degree-exact under the same buckets (every bucket row has exactly
+    ``width`` out-edges), so the reduce is per-bucket lane-slice sums of
+    a ``(rows, W·C)`` reshape — one permute gather, zero kernel
+    launches, zero scatters. Accumulates in f32. The one-hot CSC kernel
+    this replaces was grid-step-overhead-bound at ZINC shapes
+    (~3.5 ms vs ~1 ms for permute + fused sums)."""
+    from mma_tpu.ops.ell import EllSpec, pad_rows, slot_slices
+
+    spec = EllSpec.from_hint(g.ell_hint)
+    c = ct.shape[1]
+    ct_csc = ct[g.src_perm]
+    parts, off = [], 0
+    for r, w in zip(spec.rows, spec.widths):
+        blk = ct_csc[off : off + r * w].reshape(r, w * c)
+        acc = None
+        for sl in slot_slices(blk, w):
+            s32 = sl.astype(jnp.float32)
+            acc = s32 if acc is None else acc + s32
+        parts.append(acc)
+        off += r * w
+    return pad_rows(jnp.concatenate(parts, axis=0), g.n_node)

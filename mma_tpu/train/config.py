@@ -72,6 +72,12 @@ class ZincConfig:
     compute_dtype: str = "float32"
     edge_format: str = "auto"
     max_degree_hint: Optional[int] = 4
+    # Batch collate layout: "auto" takes the degree-exact ELL collate
+    # (nodes grouped by exact in-degree; aggregation becomes reshapes +
+    # lane reduces — the round-5 fast path) whenever edge_format allows
+    # ELL routing; "plain" keeps per-graph-contiguous nodes;
+    # "degree_exact" forces the exact collate.
+    batch_layout: str = "auto"
     matmul_precision: Optional[str] = "highest"  # see NodeClassificationConfig
     log_path: Optional[str] = None
     checkpoint_dir: Optional[str] = None

@@ -241,6 +241,35 @@ def train_zinc(cfg: ZincConfig, datasets=None):
     n_node = min(-(-n_node // 256) * 256, cfg.batch_size * cfg.n_node_per_graph)
     n_edge = min(-(-n_edge // 256) * 256, cfg.batch_size * cfg.n_edge_per_graph)
 
+    # Degree-exact ELL collate (round 5): nodes grouped by exact
+    # in-degree so slot index == edge index and aggregation is reshapes
+    # + lane reduces (``mma_tpu.ops.ell`` exact paths). Budgets use the
+    # GUARANTEED worst-case bound (top-batch_size per-graph counts) so
+    # no shuffled epoch can overflow them; the pads grow to fit.
+    ell_budgets = None
+    if cfg.batch_layout == "degree_exact" or (
+        cfg.batch_layout == "auto" and cfg.edge_format != "csr"
+    ):
+        from mma_tpu.data.batching import degree_budgets
+
+        budgets_z = [
+            degree_budgets(
+                [int(n) for n in d.num_nodes], d.edge_src, d.edge_dst,
+                cfg.batch_size, worst_case=True, include_zero=True,
+            )
+            for d in (train_ds, val_ds, test_ds)
+        ]
+        w = max(len(b) for b, _ in budgets_z)
+        ell_budgets = tuple(
+            max(b[i] if i < len(b) else 0 for b, _ in budgets_z)
+            for i in range(w)
+        )
+        zero_worst = max(z for _, z in budgets_z)
+        rows = sum(ell_budgets) + zero_worst + 1
+        slots = sum(b * (i + 1) for i, b in enumerate(ell_budgets))
+        n_node = max(n_node, -(-rows // 256) * 256)
+        n_edge = max(n_edge, -(-slots // 256) * 256)
+
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, state, opt_state, batch, rng):
         def loss_fn(p):
@@ -267,7 +296,8 @@ def train_zinc(cfg: ZincConfig, datasets=None):
 
     def evaluate(ds):
         tot, cnt = 0.0, 0.0
-        for batch in ds.batches(cfg.batch_size, n_node=n_node, n_edge=n_edge):
+        for batch in ds.batches(cfg.batch_size, n_node=n_node, n_edge=n_edge,
+                                ell_degree_budgets=ell_budgets):
             e, c = eval_step(params, state, batch)
             tot += float(e)
             cnt += float(c)
@@ -278,7 +308,8 @@ def train_zinc(cfg: ZincConfig, datasets=None):
         t = time.time()
         total_loss, total_graphs = 0.0, 0.0
         for batch in train_ds.batches(
-            cfg.batch_size, n_node=n_node, n_edge=n_edge, shuffle=True, seed=cfg.seed + epoch
+            cfg.batch_size, n_node=n_node, n_edge=n_edge, shuffle=True,
+            seed=cfg.seed + epoch, ell_degree_budgets=ell_budgets,
         ):
             key, step_key = jax.random.split(key)
             with trace("train_step"):

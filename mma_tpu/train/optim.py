@@ -23,9 +23,16 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    flatten: bool = True,
 ) -> optax.GradientTransformation:
     """torch-Adam-equivalent with L2-in-grad; lr is an injected hyperparam
-    (mutable via ``opt_state.hyperparams['learning_rate']``)."""
+    (mutable via ``opt_state.hyperparams['learning_rate']``).
+
+    ``flatten``: run the update over one raveled parameter vector
+    (``optax.flatten``) instead of ~hundreds of per-leaf op chains —
+    measured 0.5 ms off the 20.8 ms ZINC flagship step (the models'
+    param trees are many small tensors). Identical math; the opt state
+    stores flat moment vectors."""
 
     @optax.inject_hyperparams
     def _opt(learning_rate):
@@ -34,7 +41,8 @@ def make_optimizer(
             steps.append(optax.add_decayed_weights(weight_decay))
         steps.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
         steps.append(optax.scale_by_learning_rate(learning_rate))
-        return optax.chain(*steps)
+        chain = optax.chain(*steps)
+        return optax.flatten(chain) if flatten else chain
 
     return _opt(learning_rate=learning_rate)
 

@@ -325,3 +325,172 @@ class TestSamplerHoppedLayout:
                 seeds, n_node_pad=4096, n_edge_pad=4096,
                 hop_node_pads=(32, 4, 768, 2048),
             )
+
+
+class TestDegreeExact:
+    """Degree-exact ELL layout (round 5): ``batch_graphs(
+    ell_degree_budgets=...)`` groups nodes by exact in-degree so the flat
+    slot index equals the dst-sorted edge index — expand/collapse are
+    reshapes (``ell_expand_exact``), no gathers, no masks."""
+
+    def _mols(self, n_graphs=7, seed=0):
+        rs = np.random.RandomState(seed)
+        num_nodes, srcs, dsts, nfeats, efeats, ys = [], [], [], [], [], []
+        for _ in range(n_graphs):
+            n = int(rs.randint(5, 14))
+            s_, d_ = [], []
+            deg = np.zeros(n, np.int64)
+            for i in range(1, n):
+                j = int(rs.randint(i))
+                if deg[i] < 4 and deg[j] < 4:
+                    s_ += [i, j]; d_ += [j, i]
+                    deg[i] += 1; deg[j] += 1
+            num_nodes.append(n)
+            srcs.append(np.array(s_, np.int32))
+            dsts.append(np.array(d_, np.int32))
+            nfeats.append(rs.randint(0, 5, size=n).astype(np.int32))
+            efeats.append(rs.randint(0, 3, size=len(s_)).astype(np.int32))
+            ys.append(np.array([rs.randn()], np.float32))
+        return num_nodes, srcs, dsts, nfeats, efeats, ys
+
+    def _batch_pair(self, seed=0):
+        from mma_tpu.data.batching import batch_graphs, degree_budgets
+
+        nn, ss, dd, nf, ef, ys = self._mols(seed=seed)
+        budgets = degree_budgets(nn, ss, dd, batch_size=len(nn))
+        kw = dict(n_graph=len(nn) + 1, n_node=128, n_edge=256,
+                  node_feats=nf, edge_feats=ef, targets=ys)
+        plain = batch_graphs(nn, ss, dd, **kw)
+        exact = batch_graphs(nn, ss, dd, ell_degree_budgets=budgets, **kw)
+        return plain, exact
+
+    def test_exact_layout_structure(self):
+        from mma_tpu.ops.ell import EllSpec, validate_spec
+
+        plain, exact = self._batch_pair()
+        g = exact.graph
+        assert g.ell_exact and g.chunk_hint is None
+        assert not exact.nodes_grouped
+        spec = EllSpec.from_hint(g.ell_hint)
+        validate_spec(g, spec)
+        # Slot index == edge index: every bucket row (real or padding)
+        # has exactly its width's run length, so row_ptr at each bucket
+        # start equals the cumulative slot offset.
+        rp = np.asarray(g.row_ptr)
+        off = 0
+        for s, b, w in zip(spec.starts, spec.bounds, spec.widths):
+            runs = rp[s + 1 : b + 1] - rp[s:b]
+            assert (runs == w).all(), (s, b, w)
+            assert rp[s] == off
+            off += (b - s) * w
+        # Degree multiset preserved; real counts match.
+        assert int(np.asarray(g.num_edges)) == int(
+            np.asarray(plain.graph.num_edges))
+        deg_p = np.sort(np.asarray(plain.graph.deg)[
+            np.asarray(plain.graph.node_mask)])
+        deg_e = np.sort(np.asarray(g.deg)[np.asarray(g.node_mask)])
+        np.testing.assert_array_equal(deg_p, deg_e)
+
+    @pytest.mark.parametrize("parity", [True, False])
+    @pytest.mark.parametrize(
+        "aggs", [("min", "max"), ("sum", "mean", "var", "std")]
+    )
+    def test_conv_exact_matches_xla(self, parity, aggs):
+        """Exact-ELL conv vs the plain-XLA path on the SAME exact graph:
+        values and grads allclose (no dropout)."""
+        from mma_tpu.nn.mma_conv import MultiMaskConv
+
+        _, exact = self._batch_pair(seed=3)
+        g = exact.graph
+        rs = np.random.RandomState(1)
+        kw = dict(
+            in_channels=12, out_channels=12, aggregators=aggs,
+            scalers=("identity", "amplification"),
+            avg_deg=(("lin", 2.0), ("log", 1.0), ("exp", 5.0)),
+            edge_dim=6, towers=2, parity=parity, max_degree_hint=4,
+        )
+        conv_xla = MultiMaskConv(edge_format="csr", **kw)
+        conv_ell = MultiMaskConv(edge_format="auto", **kw)
+        params = conv_xla.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(rs.randn(g.n_node, 12).astype(np.float32))
+        e = jnp.asarray(rs.randn(g.n_edge, 6).astype(np.float32))
+
+        def loss(conv, up):
+            def f(p, xx):
+                out = conv.apply(p, xx, g, edge_attr=e, use_pallas=up)
+                return jnp.sum(
+                    jnp.where(g.node_mask[:, None], out, 0.0) ** 2
+                )
+            return f
+
+        l1, g1 = jax.value_and_grad(loss(conv_xla, False),
+                                    argnums=(0, 1))(params, x)
+        l2, g2 = jax.value_and_grad(loss(conv_ell, True),
+                                    argnums=(0, 1))(params, x)
+        assert abs(float(l1 - l2)) <= 1e-4 * max(abs(float(l1)), 1.0)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
+            )
+
+    def test_zincnet_batch_layout_invariance(self):
+        """Same molecules through the plain and the degree-exact batch:
+        per-graph predictions and parameter grads match (node order is a
+        pure relabeling; every readout is permutation-invariant)."""
+        from mma_tpu.models import ZincNet
+
+        plain, exact = self._batch_pair(seed=5)
+        model = ZincNet(
+            aggregators=("min", "max"),
+            scalers=("identity", "amplification", "linear"),
+            avg_deg=(("lin", 2.0), ("log", 1.0), ("exp", 5.0)),
+            num_layers=2, towers=5, max_degree_hint=4,
+        )
+        params = model.init(jax.random.PRNGKey(0))
+        state = model.init_state()
+
+        def run(b, up):
+            def loss(p):
+                pred, _ = model.apply(p, state, b, training=False,
+                                      use_pallas=up)
+                err = jnp.abs(pred - b.target.reshape(-1)) * b.graph_mask
+                return err.sum(), pred
+            (l, pred), gr = jax.value_and_grad(
+                loss, has_aux=True)(params)
+            return l, pred, gr
+
+        l1, pred1, gr1 = run(plain, True)
+        l2, pred2, gr2 = run(exact, True)
+        gm = np.asarray(plain.graph_mask)
+        np.testing.assert_allclose(
+            np.asarray(pred1)[gm], np.asarray(pred2)[gm],
+            atol=5e-4, rtol=1e-3,
+        )
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(gr1), jax.tree.leaves(gr2)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-3,
+            )
+
+    def test_exact_dropout_paths_run(self):
+        """N2 dropout on the exact path: finite, deterministic per key."""
+        from mma_tpu.nn.mma_conv import MultiMaskConv
+
+        _, exact = self._batch_pair(seed=7)
+        g = exact.graph
+        rs = np.random.RandomState(2)
+        conv = MultiMaskConv(
+            in_channels=8, out_channels=8, aggregators=("min", "max"),
+            scalers=("identity",),
+            avg_deg=(("lin", 2.0), ("log", 1.0), ("exp", 5.0)),
+            edge_dim=4, towers=1, parity=True, max_degree_hint=4,
+        )
+        params = conv.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(rs.randn(g.n_node, 8).astype(np.float32))
+        e = jnp.asarray(rs.randn(g.n_edge, 4).astype(np.float32))
+        o1 = conv.apply(params, x, g, edge_attr=e, use_pallas=True,
+                        rng=jax.random.PRNGKey(3))
+        o2 = conv.apply(params, x, g, edge_attr=e, use_pallas=True,
+                        rng=jax.random.PRNGKey(3))
+        assert jnp.isfinite(o1).all()
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))

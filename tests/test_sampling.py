@@ -217,14 +217,19 @@ def test_device_finished_graph_matches_host_built():
     seeds = rs.choice(n, 32, replace=False)
     deg_table = jnp.asarray(mk().true_deg)
 
-    for pads in (None, (32, 160, 768)):
+    # emit_csc=True ships the host counting-sort CSC permutation;
+    # emit_csc=False exercises the device stable-argsort fallback.
+    for pads, emit_csc in ((None, True), (None, False),
+                           ((32, 160, 768), True)):
         kw = dict(n_node_pad=2048, n_edge_pad=2048, hop_node_pads=pads)
         host = mk().sample(seeds, **kw)
-        arr = mk().sample_arrays(seeds, **kw)
+        arr = mk().sample_arrays(seeds, emit_csc=emit_csc, **kw)
+        assert (arr.src_perm is not None) == emit_csc
         dev = finish_graph_on_device(
             jnp.asarray(arr.src), jnp.asarray(arr.dst),
             jnp.asarray(arr.node_ids),
             jnp.asarray(np.int32(arr.num_edges)), deg_table,
+            None if arr.src_perm is None else jnp.asarray(arr.src_perm),
             chunk_hint=host.graph.chunk_hint, ell_hint=arr.ell_hint,
         )
         g_h = host.graph
@@ -249,3 +254,91 @@ def test_device_finished_graph_matches_host_built():
             np.asarray(dev.src_perm), np.asarray(g_h.src_perm))
         np.testing.assert_array_equal(
             arr.node_ids, np.asarray(host.node_ids).astype(np.int32))
+
+
+@pytest.mark.slow
+def test_sampled_training_accuracy_parity():
+    """End-to-end test of the unbiased-estimator claim (VERDICT r4 #8):
+    partial-fanout sampled training reaches held-out accuracy within
+    tolerance of full-graph training on the same labeled community
+    graph (where aggregation genuinely carries the signal)."""
+    import optax
+    from mma_tpu.train.optim import make_optimizer
+    from mma_tpu.train.sampled import SampledTrainConfig, train_sampled
+
+    rs = np.random.RandomState(3)
+    n, k = 500, 4
+    comm = rs.randint(0, k, n)
+    # Community graph: ~85% of edges within community.
+    edges = set()
+    for i in range(n):
+        for _ in range(6):
+            if rs.rand() < 0.85:
+                cand = np.flatnonzero(comm == comm[i])
+            else:
+                cand = np.arange(n)
+            j = int(cand[rs.randint(len(cand))])
+            if i != j:
+                edges.add((min(i, j), max(i, j)))
+    e = np.array(sorted(edges), np.int32)
+    src = np.concatenate([e[:, 0], e[:, 1]])
+    dst = np.concatenate([e[:, 1], e[:, 0]])
+    from mma_tpu.graph.build import graph_from_edges
+
+    g = graph_from_edges(src, dst, n)
+    # Noisy features: per-node one-hot of community + strong noise, so
+    # single-node features alone are weak and aggregation denoises.
+    feats = (np.eye(k)[comm] + 1.2 * rs.randn(n, k)).astype(np.float32)
+    labels = comm
+    train_idx = np.arange(350)
+    test_idx = np.arange(350, n)
+
+    model = NodeClassifier(
+        n_feat=k, n_hidden=16, n_class=k, aggregators=("mean", "max"),
+        dropout_rate=0.0, parity=True,
+    )
+
+    def accuracy(params):
+        x_full = np.zeros((g.n_node, k), np.float32)
+        x_full[:n] = feats
+        logp = model.apply(params, jnp.asarray(x_full), g, training=False)
+        pred = np.asarray(jnp.argmax(logp, axis=1))[:n]
+        return float((pred[test_idx] == labels[test_idx]).mean())
+
+    # Full-graph training.
+    params = model.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(0.01)
+    opt_state = opt.init(params)
+    x_full = np.zeros((g.n_node, k), np.float32)
+    x_full[:n] = feats
+    xj = jnp.asarray(x_full)
+    yj = jnp.asarray(np.concatenate([labels, np.zeros(g.n_node - n, np.int64)]))
+
+    @jax.jit
+    def full_step(p, o):
+        def loss_fn(pp):
+            logp = model.apply(pp, xj, g, training=False)
+            nll = -logp[jnp.arange(g.n_node), yj]
+            mask = jnp.zeros(g.n_node).at[train_idx].set(1.0)
+            return jnp.sum(nll * mask) / mask.sum()
+
+        gr = jax.grad(loss_fn)(p)
+        u, o2 = opt.update(gr, o, p)
+        return optax.apply_updates(p, u), o2
+
+    for _ in range(60):
+        params, opt_state = full_step(params, opt_state)
+    acc_full = accuracy(params)
+
+    # Sampled training: fanouts (4, 4, 4) — well under the ~12 average
+    # degree, so neighborhoods are genuinely subsampled.
+    cfg = SampledTrainConfig(
+        aggregators=("mean", "max"), hidden=16, batch_size=64,
+        fanouts=(4, 4, 4), n_node_pad=512, n_edge_pad=4096, lr=0.01,
+        dropout=0.0, epochs=12, parity=True, seed=1,
+    )
+    res = train_sampled(cfg, g, feats, labels, train_idx)
+    acc_sampled = accuracy(res["params"])
+
+    assert acc_full > 0.6, acc_full
+    assert acc_sampled > acc_full - 0.08, (acc_sampled, acc_full)
