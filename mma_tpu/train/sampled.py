@@ -281,7 +281,8 @@ def sampled_batch_producer(sampler, seed_batches, assembler,
 
 
 def make_sampled_dp_step(model, opt, mesh, axis: str = "data",
-                         use_pallas: bool = False):
+                         use_pallas: bool = False,
+                         donate_data: bool = False):
     """Data-parallel sampled-minibatch step: one sampled subgraph per
     device, global seed-weighted NLL via psum, exact pooled gradients.
 
@@ -294,6 +295,13 @@ def make_sampled_dp_step(model, opt, mesh, axis: str = "data",
     (:func:`stack_sampled_batches` with ``keep_structure=True``); the
     shard_map spec tree is derived from the actual graph pytree, so the
     static ``chunk_hint`` aux matches.
+
+    ``donate_data=True`` donates the per-batch data args (x, graph, y,
+    seed_mask) — each sampled batch is consumed exactly once, and
+    donation lets the runtime reuse their buffers instead of
+    allocate/free churn (~60 MB/batch of fresh arrays at ogbn pads;
+    deferred deallocation showed up as multi-second stall batches).
+    Do NOT reuse a batch after stepping with it under donation.
     """
     from functools import partial
 
@@ -322,7 +330,10 @@ def make_sampled_dp_step(model, opt, mesh, axis: str = "data",
 
         return mean_nll
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit,
+             donate_argnums=(2, 3, 4, 5) if donate_data else ())
     def step(params, opt_state, x, graph, y, seed_mask, rngs):
         mean_nll = _mk(graph)
         loss, grads = jax.value_and_grad(
