@@ -455,6 +455,13 @@ def _annotate_bound(entry, bound_s, parts):
         {p["binding"] for p in parts},
         key=lambda b: -sum(p["t_s"] for p in parts if p["binding"] == b),
     )[0]
+    # Itemized residual: each pass's bound time and binding resource
+    # (VERDICT r4 #2 — the bound must say WHERE the time floor lives).
+    entry["bound_parts"] = [
+        {"name": p["name"], "ms": round(p["t_s"] * 1e3, 3),
+         "binding": p["binding"]}
+        for p in parts
+    ]
 
 
 def _dtype_bytes(name):

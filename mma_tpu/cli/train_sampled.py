@@ -43,6 +43,10 @@ def build_parser():
     p.add_argument("--compute-dtype", type=str, default="auto")
     p.add_argument("--use-ell", action="store_true",
                    help="per-hop ELL bucket layout (scatter-free paths)")
+    p.add_argument("--host-built", action="store_true",
+                   help="ship full host-built Graphs instead of the "
+                        "default minimal-transfer pipeline (src/dst/ids "
+                        "+ CSC perm, structure derived on device)")
     p.add_argument("--log", type=str, default=None)
     return p
 
@@ -130,6 +134,8 @@ def main(argv=None):
         sampler, seed_batches, assembler,
         n_node_pad=n_node_pad, n_edge_pad=n_edge_pad,
         hop_node_pads=hop_pads if args.use_ell else None,
+        device_finish=not args.host_built,
+        deg_table=jnp.asarray(sampler.true_deg),
     )):
         params, opt_state, loss = step(params, opt_state, x, g, y, sm, rngs)
         if i % 10 == 0 or i == args.steps - 1:

@@ -230,22 +230,66 @@ class DeviceTableAssembler:
 
 def sampled_batch_producer(sampler, seed_batches, assembler,
                            *, n_node_pad, n_edge_pad, hop_node_pads=None,
-                           use_pallas=True, queue_depth=2):
+                           use_pallas=True, queue_depth=2,
+                           device_finish=False, deg_table=None):
     """Generator of ``(x, graph, y, seed_mask)`` DP inputs with host
     sampling + assembly running in a producer thread, double-buffered so
-    it overlaps the device step (the pipeline pattern behind the ogbn
-    bench: host ~0.74 s/batch with the native sampler vs a ~1.4 s device
-    step — device-bound).
+    it overlaps the device step.
 
     ``seed_batches``: iterable of (n_dev, batch) seed-id arrays.
+
+    ``device_finish=True`` is the MINIMAL-TRANSFER pipeline (the ogbn
+    bench default): the host ships only (src, dst, ids) plus the
+    counting-sort CSC permutation (~13 MB/batch at ogbn pads vs ~27 MB
+    for the host-built Graph) and the CSR/CSC views, masks and true
+    degrees are derived on device (``finish_graph_on_device`` — no
+    device sort). Requires ``deg_table``: the (N_global,) f32
+    device-resident true in-degree table (``jnp.asarray(
+    sampler.true_deg)``).
     """
     import queue as _queue
     import threading
+
+    import jax.numpy as jnp
+
+    if device_finish:
+        assert deg_table is not None, "device_finish needs deg_table"
+        from mma_tpu.graph.device_build import (
+            finish_graph_on_device,
+            shape_canonical_chunk_hint,
+        )
+
+        canon_hint = (shape_canonical_chunk_hint(n_edge_pad, n_node_pad)
+                      if use_pallas else None)
 
     q = _queue.Queue(maxsize=queue_depth)
     err = []
 
     def make_inputs(seeds_nd):
+        if device_finish:
+            arrs = [
+                sampler.sample_arrays(
+                    s, n_node_pad=n_node_pad, n_edge_pad=n_edge_pad,
+                    hop_node_pads=hop_node_pads,
+                )
+                for s in seeds_nd
+            ]
+            members = [
+                finish_graph_on_device(
+                    jnp.asarray(ar.src), jnp.asarray(ar.dst),
+                    jnp.asarray(ar.node_ids), jnp.int32(ar.num_edges),
+                    deg_table, jnp.asarray(ar.src_perm),
+                    chunk_hint=canon_hint, ell_hint=ar.ell_hint,
+                )
+                for ar in arrs
+            ]
+            import jax
+
+            graph = jax.tree.map(
+                lambda *xs: jnp.stack(xs, axis=0), *members
+            )
+            x, y, sm = assembler(arrs)
+            return x, graph, y, sm
         batches = [
             sampler.sample(
                 s, n_node_pad=n_node_pad, n_edge_pad=n_edge_pad,

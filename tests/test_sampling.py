@@ -342,3 +342,52 @@ def test_sampled_training_accuracy_parity():
 
     assert acc_full > 0.6, acc_full
     assert acc_sampled > acc_full - 0.08, (acc_sampled, acc_full)
+
+
+def test_minimal_transfer_producer_matches_hostbuilt():
+    """sampled_batch_producer(device_finish=True): the library
+    minimal-transfer pipeline yields the same (x, graph, y, seed_mask)
+    stream as the host-built producer (same sampler seed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mma_tpu.train.sampled import (
+        DeviceTableAssembler,
+        sampled_batch_producer,
+    )
+
+    rs = np.random.RandomState(4)
+    n, m = 2000, 12000
+    a = rs.randint(0, n, m).astype(np.int32)
+    b = rs.randint(0, n, m).astype(np.int32)
+    keep = a != b
+    mk = lambda: NeighborSampler.from_host_arrays(
+        np.concatenate([a[keep], b[keep]]),
+        np.concatenate([b[keep], a[keep]]), n, (4, 3), seed=9,
+    )
+    feats = rs.randn(n, 8).astype(np.float32)
+    labels = rs.randint(0, 5, n)
+    assembler = DeviceTableAssembler(feats, labels)
+    seed_batches = [rs.randint(0, n, size=(2, 16)) for _ in range(2)]
+    deg_tab = jnp.asarray(mk().true_deg)
+
+    host = list(sampled_batch_producer(
+        mk(), iter(seed_batches), assembler,
+        n_node_pad=2048, n_edge_pad=2048,
+    ))
+    mini = list(sampled_batch_producer(
+        mk(), iter(seed_batches), assembler,
+        n_node_pad=2048, n_edge_pad=2048,
+        device_finish=True, deg_table=deg_tab,
+    ))
+    assert len(host) == len(mini) == 2
+    for (xh, gh, yh, smh), (xm, gm, ym, smm) in zip(host, mini):
+        np.testing.assert_allclose(np.asarray(xh), np.asarray(xm), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(yh), np.asarray(ym))
+        np.testing.assert_array_equal(np.asarray(smh), np.asarray(smm))
+        for f in ("src", "dst", "edge_mask", "node_mask", "deg",
+                  "row_ptr", "src_perm", "col_ptr", "src_csc", "dst_csc"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(gh, f)), np.asarray(getattr(gm, f)),
+                err_msg=f,
+            )
