@@ -121,3 +121,47 @@ def test_ell_hint_graph_export_roundtrip():
     got = served(params, x, g_ell)
     want = model.apply(params, x, g_ell, training=False, use_pallas=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_degree_exact_batch_export_roundtrip():
+    """The degree-exact collate's static aux (4-tuple Graph aux incl.
+    ell_exact/csc_ell_exact, BatchedGraphs.nodes_grouped) serializes
+    through the JSON auxdata codec; the exact-ELL ZincNet forward
+    round-trips (allclose; separate jit contexts differ in fusion)."""
+    import numpy as np
+    from mma_tpu.data import load_zinc
+    from mma_tpu.data.batching import degree_budgets
+    from mma_tpu.models import ZincNet
+    from mma_tpu.nn.mma_conv import compute_avg_deg
+    from mma_tpu.serve import export_forward
+
+    ds = load_zinc("val", subset_size=8)
+    avg = compute_avg_deg(jnp.asarray(ds.degree_histogram()), parity=True)
+    model = ZincNet(
+        aggregators=("min", "max"),
+        scalers=("identity", "amplification", "linear"),
+        avg_deg=tuple(avg.items()), towers=5, num_layers=2,
+        max_degree_hint=4,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    state = model.init_state()
+    idx = list(range(4))
+    budgets = degree_budgets(
+        [int(ds.num_nodes[i]) for i in idx],
+        [ds.edge_dst[i] for i in idx], [ds.edge_dst[i] for i in idx], 4,
+    )
+    batch = next(ds.batches(4, n_node=256, n_edge=512,
+                            ell_degree_budgets=budgets))
+    assert batch.graph.ell_exact and not batch.nodes_grouped
+
+    def fwd(p, b):
+        pred, _ = model.apply(p, state, b, training=False, use_pallas=True)
+        return pred
+
+    blob = export_forward(fwd, (params, batch))
+    from mma_tpu.serve import load_forward as _lf
+
+    served = _lf(blob)
+    got = served(params, batch)
+    want = fwd(params, batch)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
