@@ -740,15 +740,24 @@ def bench_zinc_conv(batch_size=1024, seed=0):
             return optax.apply_updates(p, u), o2, s2
 
         try:
-            dt = _time_step_fn(
-                fwd_c, jnp.zeros((), jnp.float32), params, state, b_used,
-                iters=15, n_state=1,
-            )
+            # Median of 3 measurement repeats: the small zinc step is
+            # load-sensitive on this shared host (12-15.5M observed for
+            # the same binary across runs).
+            dt = float(np.median([
+                _time_step_fn(
+                    fwd_c, jnp.zeros((), jnp.float32), params, state,
+                    b_used, iters=15, n_state=1,
+                )
+                for _ in range(3)
+            ]))
             res[name] = {"time_s": dt, "edges_per_s": n_edges / dt}
             zb = _zinc_fwd_bytes(b_used, 75, 5, 50, model.num_layers, dtype)
             _annotate_roofline(res[name], n_edges, zb)
-            dt_t = _time_step_fn(step, params, opt_state, state, b_used,
-                                 iters=10)
+            dt_t = float(np.median([
+                _time_step_fn(step, params, opt_state, state, b_used,
+                              iters=10)
+                for _ in range(3)
+            ]))
             res[name]["train"] = {"time_s": dt_t, "edges_per_s": n_edges / dt_t}
             _annotate_roofline(res[name]["train"], n_edges, 3 * zb)
             if jax.devices()[0].platform == "tpu":
